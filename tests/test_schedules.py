@@ -160,7 +160,7 @@ def test_timestep_embedding_shape_and_values():
     np.testing.assert_allclose(
         np.asarray(emb[1]),
         np.concatenate([np.cos(10 * freqs), np.sin(10 * freqs)]),
-        rtol=1e-5, atol=1e-6,
+        atol=1e-4,  # float32 embedding vs float64 re-derivation
     )
 
 
