@@ -1,0 +1,296 @@
+"""Neural building blocks shared by the RDM U-Net and the RARM transformer.
+
+flax.linen modules, NHWC image layout (TPU-native; conv kernels HWIO feed the
+MXU directly), parameters kept in float32, activations in a configurable
+compute dtype (bfloat16 in production). Normalizations and softmax always run
+in float32.
+
+Behavioral parity targets (semantics only, re-designed for NHWC/JAX):
+- ResBlock / Upsample / Downsample: ldm.modules.diffusionmodules.openaimodel
+  (imported by /root/reference/rdm/modules/diffusionmodules/openaimodel.py:4-10).
+- CrossAttention / BasicTransformerBlock / SpatialTransformer:
+  /root/reference/rdm/modules/attention.py:20-196.
+- GEGLU FeedForward: ldm.modules.attention.FeedForward (glu=True), used at
+  /root/reference/rdm/modules/attention.py:81.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rdm_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+zeros_init = nn.initializers.zeros
+
+
+class GroupNorm32(nn.Module):
+    """GroupNorm computed in float32, output cast back to input dtype."""
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = nn.GroupNorm(
+            num_groups=self.num_groups,
+            epsilon=self.epsilon,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm computed in float32."""
+
+    epsilon: float = 1e-5
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x = nn.LayerNorm(
+            epsilon=self.epsilon,
+            use_bias=self.use_bias,
+            dtype=jnp.float32,
+            param_dtype=jnp.float32,
+        )(x.astype(jnp.float32))
+        return x.astype(orig_dtype)
+
+
+def conv(features: int, kernel: int, dtype: Dtype, *, stride: int = 1,
+         zero_init: bool = False, name: Optional[str] = None) -> nn.Conv:
+    """3x3/1x1 NHWC conv with SAME padding."""
+    init = zeros_init if zero_init else nn.initializers.lecun_normal()
+    return nn.Conv(
+        features=features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding="SAME",
+        kernel_init=init,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        name=name,
+    )
+
+
+class ResBlock(nn.Module):
+    """Timestep-conditioned residual block.
+
+    norm → silu → conv3x3 → (+ time emb) → norm → silu → dropout → zero-conv3x3,
+    with a 1x1-projected residual when channel count changes. Optional
+    FiLM-style scale-shift conditioning and fused up/down resampling.
+    """
+
+    out_channels: int
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    up: bool = False
+    down: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, emb, *, deterministic: bool = True):
+        in_ch = x.shape[-1]
+        h = nn.silu(GroupNorm32(name="norm1")(x))
+        if self.up:
+            h = _resize_nearest(h, 2)
+            x = _resize_nearest(x, 2)
+        elif self.down:
+            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        h = conv(self.out_channels, 3, self.dtype, name="conv1")(h)
+
+        emb_out = nn.Dense(
+            2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="emb_proj",
+        )(nn.silu(emb))
+
+        if self.use_scale_shift_norm:
+            scale, shift = jnp.split(emb_out[:, None, None, :], 2, axis=-1)
+            h = GroupNorm32(name="norm2")(h) * (1 + scale) + shift
+            h = nn.silu(h)
+        else:
+            h = h + emb_out[:, None, None, :].astype(h.dtype)
+            h = nn.silu(GroupNorm32(name="norm2")(h))
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = conv(self.out_channels, 3, self.dtype, zero_init=True, name="conv2")(h)
+
+        if in_ch != self.out_channels:
+            x = conv(self.out_channels, 1, self.dtype, name="skip")(x)
+        return x + h
+
+
+def _resize_nearest(x, factor: int):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, h * factor, w * factor, c), method="nearest")
+
+
+class Upsample(nn.Module):
+    """Nearest 2x upsample + conv3x3."""
+
+    out_channels: Optional[int] = None
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or x.shape[-1]
+        x = _resize_nearest(x, 2)
+        if self.use_conv:
+            x = conv(out_ch, 3, self.dtype, name="conv")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Strided conv3x3 downsample (or avg-pool when use_conv=False)."""
+
+    out_channels: Optional[int] = None
+    use_conv: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out_ch = self.out_channels or x.shape[-1]
+        if self.use_conv:
+            return conv(out_ch, 3, self.dtype, stride=2, name="conv")(x)
+        return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None.
+
+    Linear projections without bias for q/k/v, biased output projection —
+    the layout expected by released RDM/RARM checkpoints.
+    """
+
+    heads: int
+    head_dim: int
+    context_dim: Optional[int] = None  # informational; inferred from input
+    causal: bool = False
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, mask=None, deterministic: bool = True):
+        inner = self.heads * self.head_dim
+        ctx = x if context is None else context
+        dense = lambda name: nn.Dense(
+            inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            name=name,
+        )
+        q = dense("to_q")(x)
+        k = dense("to_k")(ctx)
+        v = dense("to_v")(ctx)
+        b, sq = q.shape[0], q.shape[1]
+        sk = k.shape[1]
+        q = q.reshape(b, sq, self.heads, self.head_dim)
+        k = k.reshape(b, sk, self.heads, self.head_dim)
+        v = v.reshape(b, sk, self.heads, self.head_dim)
+        out = dot_product_attention(
+            q, k, v, causal=self.causal and context is None, mask=mask
+        )
+        out = out.reshape(b, sq, inner)
+        out = nn.Dense(
+            x.shape[-1], dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
+        )(out)
+        return nn.Dropout(self.dropout)(out, deterministic=deterministic)
+
+
+class GEGLUFeedForward(nn.Module):
+    """x → Dense(2*inner) → a * gelu(b) → dropout → Dense(dim)."""
+
+    mult: int = 4
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        h = nn.Dense(
+            inner * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in"
+        )(x)
+        a, gate = jnp.split(h, 2, axis=-1)
+        h = a * nn.gelu(gate)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.Dense(
+            dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out"
+        )(h)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN: self-attn → cross-attn → GEGLU FF, each residual.
+
+    When has_cross=False the middle attention collapses to self-attention on
+    x (reference behavior when context_dim is None).
+    """
+
+    heads: int
+    head_dim: int
+    has_cross: bool = True
+    causal: bool = False
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, deterministic: bool = True):
+        x = x + CrossAttention(
+            heads=self.heads, head_dim=self.head_dim, causal=self.causal,
+            dropout=self.dropout, dtype=self.dtype, name="attn1",
+        )(LayerNormF32(name="norm1")(x), deterministic=deterministic)
+        x = x + CrossAttention(
+            heads=self.heads, head_dim=self.head_dim,
+            causal=self.causal and not self.has_cross,
+            dropout=self.dropout, dtype=self.dtype, name="attn2",
+        )(
+            LayerNormF32(name="norm2")(x),
+            context=context if self.has_cross else None,
+            deterministic=deterministic,
+        )
+        x = x + GEGLUFeedForward(
+            dropout=self.dropout, dtype=self.dtype, name="ff"
+        )(LayerNormF32(name="norm3")(x), deterministic=deterministic)
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """The U-Net cross-attention insert (hot inner module of RDM).
+
+    GroupNorm → 1x1 conv to inner_dim → flatten to tokens → `depth`
+    transformer blocks cross-attending to `context` → zero-init 1x1 conv →
+    residual.
+    """
+
+    heads: int
+    head_dim: int
+    depth: int = 1
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, *, deterministic: bool = True):
+        b, h, w, c = x.shape
+        inner = self.heads * self.head_dim
+        x_in = x
+        x = GroupNorm32(epsilon=1e-6, name="norm")(x)
+        x = conv(inner, 1, self.dtype, name="proj_in")(x)
+        x = x.reshape(b, h * w, inner)
+        for i in range(self.depth):
+            x = TransformerBlock(
+                heads=self.heads, head_dim=self.head_dim,
+                has_cross=context is not None, dropout=self.dropout,
+                dtype=self.dtype, name=f"block_{i}",
+            )(x, context, deterministic=deterministic)
+        x = x.reshape(b, h, w, inner)
+        x = conv(c, 1, self.dtype, zero_init=True, name="proj_out")(x)
+        return x + x_in

@@ -1,0 +1,173 @@
+"""ADM-style U-Net with retrieval cross-attention — the RDM denoiser.
+
+TPU-first re-design of the reference U-Net
+(/root/reference/rdm/modules/diffusionmodules/openaimodel.py:36-371):
+
+- NHWC layout; every conv/matmul lands on the MXU in bfloat16.
+- Single functional signature `apply(params, x, t, context)` — the reference's
+  wrapper/conditioning-key maze (ddpm.py:60-131) collapses to "context is the
+  cross-attention sequence" because all released RDM configs use
+  `conditioning_key: retro_only` (models/rdm/*/config.yaml).
+- The timestep embedding is computed in float32 and shared across blocks.
+- Gradient rematerialization is applied at the train-step level (checkpoint
+  policy), not per-block, letting XLA schedule the recompute.
+
+Released operating points:
+  ImageNet: model_channels=192, channel_mult=(1,2,3,5), attn at ds {2,4,8},
+            num_head_channels=32, transformer_depth=1, context_dim=512.
+  FFHQ:     model_channels=224, channel_mult=(1,2,3,4), same attention spec.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rdm_tpu.models.layers import (
+    Downsample,
+    GroupNorm32,
+    ResBlock,
+    SpatialTransformer,
+    Upsample,
+    conv,
+)
+from rdm_tpu.ops.schedules import timestep_embedding
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 3
+    out_channels: int = 3
+    model_channels: int = 192
+    num_res_blocks: int = 2
+    attention_resolutions: Tuple[int, ...] = (2, 4, 8)  # ds values
+    channel_mult: Tuple[int, ...] = (1, 2, 3, 5)
+    num_heads: int = -1
+    num_head_channels: int = 32
+    transformer_depth: int = 1
+    context_dim: Optional[int] = 512
+    dropout: float = 0.0
+    use_scale_shift_norm: bool = False
+    resblock_updown: bool = False
+    num_classes: Optional[int] = None
+    conv_resample: bool = True
+
+    @classmethod
+    def imagenet_rdm(cls) -> "UNetConfig":
+        return cls()
+
+    @classmethod
+    def ffhq_rdm(cls) -> "UNetConfig":
+        return cls(model_channels=224, channel_mult=(1, 2, 3, 4))
+
+    def heads_for(self, ch: int) -> Tuple[int, int]:
+        """(num_heads, head_dim) for a channel count, num_head_channels rule."""
+        if self.num_head_channels == -1:
+            return self.num_heads, ch // self.num_heads
+        return ch // self.num_head_channels, self.num_head_channels
+
+
+class UNet(nn.Module):
+    """eps-prediction U-Net. Input/output NHWC.
+
+    __call__(x[B,H,W,C], t[B], context[B,S,Dc] or None, y[B] or None) -> eps
+    """
+
+    config: UNetConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, context=None, y=None, *, deterministic: bool = True):
+        cfg = self.config
+        ch0 = cfg.model_channels
+        time_dim = ch0 * 4
+
+        t_emb = timestep_embedding(t, ch0)
+        emb = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_dense1")(t_emb.astype(self.dtype))
+        emb = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_dense2")(nn.silu(emb))
+        if cfg.num_classes is not None:
+            assert y is not None, "class-conditional UNet requires labels"
+            emb = emb + nn.Embed(
+                cfg.num_classes, time_dim, dtype=self.dtype,
+                param_dtype=jnp.float32, name="label_emb",
+            )(y)
+
+        if context is not None:
+            context = context.astype(self.dtype)
+        x = x.astype(self.dtype)
+
+        def res(ch, name, **kw):
+            return ResBlock(
+                out_channels=ch, dropout=cfg.dropout,
+                use_scale_shift_norm=cfg.use_scale_shift_norm,
+                dtype=self.dtype, name=name, **kw,
+            )
+
+        def attn(ch, name):
+            heads, head_dim = cfg.heads_for(ch)
+            return SpatialTransformer(
+                heads=heads, head_dim=head_dim, depth=cfg.transformer_depth,
+                dropout=cfg.dropout, dtype=self.dtype, name=name,
+            )
+
+        # ---- down path ----
+        h = conv(ch0, 3, self.dtype, name="conv_in")(x)
+        hs = [h]
+        ds = 1
+        ch = ch0
+        for level, mult in enumerate(cfg.channel_mult):
+            for i in range(cfg.num_res_blocks):
+                ch = mult * ch0
+                h = res(ch, f"down_{level}_{i}_res")(h, emb,
+                                                     deterministic=deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = attn(ch, f"down_{level}_{i}_attn")(
+                        h, context, deterministic=deterministic)
+                hs.append(h)
+            if level != len(cfg.channel_mult) - 1:
+                if cfg.resblock_updown:
+                    h = res(ch, f"down_{level}_down", down=True)(
+                        h, emb, deterministic=deterministic)
+                else:
+                    h = Downsample(out_channels=ch, use_conv=cfg.conv_resample,
+                                   dtype=self.dtype, name=f"down_{level}_down")(h)
+                hs.append(h)
+                ds *= 2
+
+        # ---- middle ----
+        h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
+        h = attn(ch, "mid_attn")(h, context, deterministic=deterministic)
+        h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
+
+        # ---- up path ----
+        for level, mult in reversed(list(enumerate(cfg.channel_mult))):
+            for i in range(cfg.num_res_blocks + 1):
+                skip = hs.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                ch = mult * ch0
+                h = res(ch, f"up_{level}_{i}_res")(h, emb,
+                                                   deterministic=deterministic)
+                if ds in cfg.attention_resolutions:
+                    h = attn(ch, f"up_{level}_{i}_attn")(
+                        h, context, deterministic=deterministic)
+                if level and i == cfg.num_res_blocks:
+                    if cfg.resblock_updown:
+                        h = res(ch, f"up_{level}_up", up=True)(
+                            h, emb, deterministic=deterministic)
+                    else:
+                        h = Upsample(out_channels=ch, use_conv=cfg.conv_resample,
+                                     dtype=self.dtype, name=f"up_{level}_up")(h)
+                    ds //= 2
+        assert not hs, "skip-connection bookkeeping mismatch"
+
+        h = nn.silu(GroupNorm32(name="out_norm")(h))
+        h = conv(cfg.out_channels, 3, self.dtype, zero_init=True,
+                 name="out_conv")(h)
+        return h.astype(jnp.float32)

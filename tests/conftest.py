@@ -15,3 +15,9 @@ if "--xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# fp32 test tensors should get true fp32 matmuls (the JAX default is
+# bf16-grade even on CPU); production code runs bf16 explicitly.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

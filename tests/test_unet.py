@@ -1,0 +1,179 @@
+"""Shape/contract tests for the U-Net and its building blocks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdm_tpu.models.layers import (
+    CrossAttention,
+    GEGLUFeedForward,
+    ResBlock,
+    SpatialTransformer,
+    TransformerBlock,
+)
+from rdm_tpu.models.unet import UNet, UNetConfig
+from rdm_tpu.ops.attention import dot_product_attention
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        in_channels=3, out_channels=3, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(2,),
+        channel_mult=(1, 2), num_head_channels=16, context_dim=64,
+    )
+    base.update(kw)
+    return UNetConfig(**base)
+
+
+def test_unet_forward_shape_and_zero_init():
+    cfg = tiny_cfg()
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.ones((2, 16, 16, 3))
+    t = jnp.asarray([0, 500])
+    ctx = jnp.ones((2, 4, 64))
+    params = model.init(rng, x, t, ctx)
+    out = model.apply(params, x, t, ctx)
+    assert out.shape == (2, 16, 16, 3)
+    # zero-initialized output conv → exact zeros at init
+    np.testing.assert_array_equal(np.asarray(out), 0.0)
+
+
+def test_unet_context_changes_output():
+    cfg = tiny_cfg()
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    t = jnp.asarray([100])
+    c1 = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 64))
+    c2 = jax.random.normal(jax.random.PRNGKey(3), (1, 4, 64))
+    params = model.init(rng, x, t, c1)
+    # perturb the zero out conv so outputs are nonzero
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params
+    )
+    o1 = model.apply(params, x, t, c1)
+    o2 = model.apply(params, x, t, c2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_unet_unconditional_mode():
+    cfg = tiny_cfg(context_dim=None)
+    model = UNet(cfg)
+    x = jnp.ones((1, 16, 16, 3))
+    t = jnp.asarray([10])
+    params = model.init(jax.random.PRNGKey(0), x, t, None)
+    out = model.apply(params, x, t, None)
+    assert out.shape == (1, 16, 16, 3)
+
+
+def test_unet_class_conditional():
+    cfg = tiny_cfg(num_classes=10)
+    model = UNet(cfg)
+    x = jnp.ones((2, 16, 16, 3))
+    t = jnp.asarray([10, 20])
+    y = jnp.asarray([3, 7])
+    ctx = jnp.ones((2, 4, 64))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx, y)
+    out = model.apply(params, x, t, ctx, y)
+    assert out.shape == (2, 16, 16, 3)
+
+
+def test_unet_imagenet_param_count():
+    """The flagship config should be ~400M params (6.2GB fp32 ckpt ballpark
+
+    includes optimizer state; raw params are ~1.6GB). Guard the architecture
+    against accidental drift with a loose band.
+    """
+    cfg = UNetConfig.imagenet_rdm()
+    model = UNet(cfg)
+    x = jnp.ones((1, 64, 64, 3))
+    t = jnp.asarray([0])
+    ctx = jnp.ones((1, 4, 512))
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), x, t, ctx)
+    )
+    n = sum(np.prod(p.shape) for p in jax.tree.leaves(params))
+    assert 3.0e8 < n < 6.0e8, f"param count {n:,} outside expected band"
+
+
+def test_resblock_channel_change():
+    block = ResBlock(out_channels=64)
+    x = jnp.ones((2, 8, 8, 32))
+    emb = jnp.ones((2, 128))
+    params = block.init(jax.random.PRNGKey(0), x, emb)
+    out = block.apply(params, x, emb)
+    assert out.shape == (2, 8, 8, 64)
+
+
+def test_resblock_updown():
+    for kw, expect_hw in [(dict(up=True), 16), (dict(down=True), 4)]:
+        block = ResBlock(out_channels=32, **kw)
+        x = jnp.ones((1, 8, 8, 32))
+        emb = jnp.ones((1, 64))
+        params = block.init(jax.random.PRNGKey(0), x, emb)
+        out = block.apply(params, x, emb)
+        assert out.shape == (1, expect_hw, expect_hw, 32)
+
+
+def test_cross_attention_self_vs_cross():
+    attn = CrossAttention(heads=2, head_dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 6, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (1, 3, 32))
+    params = attn.init(jax.random.PRNGKey(2), x, ctx)
+    out = attn.apply(params, x, ctx)
+    assert out.shape == (1, 6, 16)
+
+
+def test_attention_matches_naive():
+    """XLA attention path vs an explicit per-head numpy softmax."""
+    rng = np.random.RandomState(0)
+    b, s, h, d = 2, 5, 3, 4
+    q = rng.randn(b, s, h, d).astype(np.float32)
+    k = rng.randn(b, s, h, d).astype(np.float32)
+    v = rng.randn(b, s, h, d).astype(np.float32)
+    out = dot_product_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    scale = d ** -0.5
+    for bi in range(b):
+        for hi in range(h):
+            scores = q[bi, :, hi] @ k[bi, :, hi].T * scale
+            e = np.exp(scores - scores.max(-1, keepdims=True))
+            p = e / e.sum(-1, keepdims=True)
+            expected = p @ v[bi, :, hi]
+            np.testing.assert_allclose(
+                np.asarray(out[bi, :, hi]), expected, rtol=1e-4, atol=1e-5
+            )
+
+
+def test_attention_causal_prefix_alignment():
+    """Causal mask must align to the END of the key sequence (prefix decode)."""
+    rng = np.random.RandomState(1)
+    b, h, d = 1, 1, 4
+    sk, sq = 6, 2  # query is the last 2 positions of a 6-token sequence
+    q = rng.randn(b, sq, h, d).astype(np.float32)
+    k = rng.randn(b, sk, h, d).astype(np.float32)
+    v = rng.randn(b, sk, h, d).astype(np.float32)
+    out = dot_product_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True
+    )
+    # query 0 ≙ global position 4: may attend keys 0..4; query 1: keys 0..5
+    scale = d ** -0.5
+    for qi, limit in [(0, 5), (1, 6)]:
+        scores = (q[0, qi, 0] @ k[0, :, 0].T * scale)[:limit]
+        e = np.exp(scores - scores.max())
+        p = e / e.sum()
+        expected = p @ v[0, :limit, 0]
+        np.testing.assert_allclose(
+            np.asarray(out[0, qi, 0]), expected, rtol=1e-4, atol=1e-5
+        )
+
+
+def test_spatial_transformer_residual_at_init():
+    st = SpatialTransformer(heads=2, head_dim=8)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 16))
+    ctx = jnp.ones((1, 3, 32))
+    params = st.init(jax.random.PRNGKey(1), x, ctx)
+    out = st.apply(params, x, ctx)
+    # zero-init proj_out → exact identity at init
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
