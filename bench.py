@@ -1,0 +1,120 @@
+"""Headline benchmark: end-to-end RDM sampling throughput on one chip.
+
+Measures 256x256 images/sec for the BASELINE.json operating point:
+exact kNN retrieval (k=4) over an ImageNet-sized CLIP database (1.28M x 512)
++ DDIM-50 reverse diffusion with CFG (batch doubled through the 395M-param
+U-Net, /root/reference equivalent: rdm_sample.py + ddim.py:229-238)
++ VQ-f4 decode to 256x256 RGB.
+
+`vs_baseline` compares against an analytic A100 estimate for the same
+workload (the reference publishes no throughput numbers — BASELINE.md):
+A100 bf16 peak 312 TFLOP/s at 40% MFU over the same per-image FLOPs. The
+north-star is vs_baseline >= 2.0 (2x A100 images/sec/chip).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+BATCH = 8
+DDIM_STEPS = 50
+K_NN = 4
+GUIDANCE = 2.0
+DB_ROWS = 1_281_280  # ImageNet database size, 128-aligned
+A100_BF16_PEAK = 312e12
+A100_MFU_EST = 0.40
+
+
+def main():
+    from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
+    from rdm_tpu.models.rdm import RDM, RDMConfig, sample_with_neighbors
+    from rdm_tpu.ops.schedules import DiffusionSchedule
+    from rdm_tpu.retrieval.database import DataPool
+    from rdm_tpu.retrieval.engine import RetrievalEngine
+    from rdm_tpu.sampling import DDIMSamplerConfig
+
+    cfg = RDMConfig.imagenet()
+    model = RDM(cfg, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    x0 = jnp.zeros((BATCH, cfg.image_size, cfg.image_size, cfg.channels))
+    t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
+    c0 = jnp.zeros((BATCH, K_NN, cfg.context_dim))
+    params = jax.jit(model.init)(rng, x0, t0, c0)
+
+    vq_cfg = AutoencoderConfig.vq_f4()
+    vq = VQModel(vq_cfg, dtype=jnp.bfloat16)
+    z0 = jnp.zeros((BATCH, 64, 64, 3))
+    vq_params = jax.jit(
+        lambda r: vq.init(r, z0, force_not_quantize=False,
+                          method=VQModel.decode))(jax.random.PRNGKey(1))
+
+    schedule = DiffusionSchedule.create(
+        cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
+    sampler = DDIMSamplerConfig(num_steps=DDIM_STEPS,
+                                guidance_scale=GUIDANCE)
+
+    # synthetic CLIP database (released db is not downloadable offline);
+    # compute cost is identical to the real one
+    emb = np.random.default_rng(0).standard_normal(
+        (DB_ROWS, 512)).astype(np.float32)
+    pool = DataPool(embeddings=emb)
+    engine = RetrievalEngine(pool, mesh=None)
+
+    @jax.jit
+    def pipeline(params, vq_params, query_emb, rng):
+        from rdm_tpu.retrieval.engine import knn_search, l2_normalize
+        q = l2_normalize(query_emb)
+        _, nns = knn_search(engine.db_norm, q, K_NN)
+        neighbors = jnp.take(engine.db_norm, nns, axis=0).astype(jnp.float32)
+        z = sample_with_neighbors(model, params, neighbors, schedule,
+                                  sampler, rng)
+        img = vq.apply(vq_params, z, force_not_quantize=False,
+                       method=VQModel.decode)
+        return img
+
+    q = jnp.asarray(emb[:BATCH])
+
+    # warmup + compile
+    img = pipeline(params, vq_params, q, jax.random.PRNGKey(2))
+    jax.block_until_ready(img)
+
+    runs = 3
+    start = time.perf_counter()
+    for i in range(runs):
+        img = pipeline(params, vq_params, q, jax.random.PRNGKey(3 + i))
+    jax.block_until_ready(img)
+    elapsed = time.perf_counter() - start
+    imgs_per_sec = BATCH * runs / elapsed
+
+    # analytic A100 estimate over identical FLOPs: measure our per-image
+    # FLOPs via XLA cost analysis of the compiled pipeline
+    try:
+        comp = pipeline.lower(params, vq_params, q,
+                              jax.random.PRNGKey(2)).compile()
+        flops_total = comp.cost_analysis()["flops"]
+        flops_per_img = flops_total / BATCH
+        a100_imgs_per_sec = (A100_BF16_PEAK * A100_MFU_EST) / flops_per_img
+        vs_baseline = imgs_per_sec / a100_imgs_per_sec
+    except Exception:
+        vs_baseline = float("nan")
+
+    print(json.dumps({
+        "metric": "rdm_ddim50_256px_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(vs_baseline, 4)
+        if np.isfinite(vs_baseline) else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,7 @@ Behavioral parity targets (semantics only, re-designed for NHWC/JAX):
 
 from __future__ import annotations
 
+import math
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -30,7 +31,11 @@ zeros_init = nn.initializers.zeros
 
 
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in float32, output cast back to input dtype."""
+    """GroupNorm computed in float32, output cast back to input dtype.
+
+    Uses gcd(num_groups, channels) groups so tiny test configs are valid;
+    production channel counts are multiples of 32, giving exactly 32 groups.
+    """
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -38,8 +43,9 @@ class GroupNorm32(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
+        groups = math.gcd(self.num_groups, x.shape[-1])
         x = nn.GroupNorm(
-            num_groups=self.num_groups,
+            num_groups=groups,
             epsilon=self.epsilon,
             dtype=jnp.float32,
             param_dtype=jnp.float32,
@@ -152,7 +158,12 @@ class Upsample(nn.Module):
 
 
 class Downsample(nn.Module):
-    """Strided conv3x3 downsample (or avg-pool when use_conv=False)."""
+    """Strided conv3x3 downsample (or avg-pool when use_conv=False).
+
+    Explicit symmetric padding + VALID matches torch's pad=1 stride-2 window
+    alignment (XLA SAME pads asymmetrically at stride 2), so converted ADM
+    U-Net weights reproduce the reference activations exactly.
+    """
 
     out_channels: Optional[int] = None
     use_conv: bool = True
@@ -162,7 +173,12 @@ class Downsample(nn.Module):
     def __call__(self, x):
         out_ch = self.out_channels or x.shape[-1]
         if self.use_conv:
-            return conv(out_ch, 3, self.dtype, stride=2, name="conv")(x)
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            return nn.Conv(
+                features=out_ch, kernel_size=(3, 3), strides=(2, 2),
+                padding="VALID", dtype=self.dtype, param_dtype=jnp.float32,
+                name="conv",
+            )(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))
 
 
@@ -221,7 +237,7 @@ class GEGLUFeedForward(nn.Module):
             inner * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in"
         )(x)
         a, gate = jnp.split(h, 2, axis=-1)
-        h = a * nn.gelu(gate)
+        h = a * nn.gelu(gate, approximate=False)  # exact erf, torch parity
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(
             dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out"

@@ -1,0 +1,308 @@
+"""RARM — retrieval-augmented autoregressive transformer over VQGAN tokens.
+
+TPU-first re-design of LatentImageRETRO + RetrievalPatchTransformer
+(/root/reference/rdm/models/autoregression/transformer.py:122-270,
+/root/reference/rdm/modules/attention.py:199-272):
+
+- decoder trunk: token embedding (vocab 16386 = 16384 codes + mask + SOS),
+  learned positional encodings, `depth` pre-LN blocks of causal self-attn →
+  cross-attn to the retrieved CLIP neighbors → GEGLU FF, then a linear head
+  to 16384 code logits (reference config models/rarm/imagenet/dogs/
+  config.yaml:14-27: depth 18, 12 heads, d_head 64, ctx 512).
+- **KV-cached decoding**: the reference re-forwards the full prefix for
+  every generated token with no cache (transformer.py:241-268 — its biggest
+  inference inefficiency, SURVEY.md §5.7). Here decoding is one `lax.scan`
+  with a static-shape KV cache; cross-attention K/V are computed once per
+  sample call. CFG (zeroed neighbors) doubles the batch through the same
+  cache (semantically the guided logits of transformer.py:246-253, without
+  the reference's prefix-duplication bug).
+- mask-token augmentation: elements of the (continuous) neighbor context are
+  replaced by the scalar mask_token value with prob p ~ U(0, p_mask_max)
+  (transformer.py:191-205 — faithful, odd as it is).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rdm_tpu.models.layers import GEGLUFeedForward, LayerNormF32
+from rdm_tpu.ops.attention import dot_product_attention
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class RARMConfig:
+    vocab_size: int = 16386  # input vocab incl. mask + sos
+    out_vocab: int = 16384
+    heads: int = 12
+    head_dim: int = 64
+    depth: int = 18
+    context_dim: int = 512
+    seq_len: int = 256  # image token count (16x16 VQ-f16 grid)
+    sos_token: int = 16385
+    mask_token: int = 16384
+    code_side: int = 16
+    p_mask_max: float = 0.0
+
+    @property
+    def inner_dim(self) -> int:
+        return self.heads * self.head_dim
+
+    @classmethod
+    def imagenet_dogs(cls) -> "RARMConfig":
+        return cls()
+
+
+class _Attention(nn.Module):
+    """to_q/to_k/to_v (no bias) + biased to_out; exposes split projections
+    so the decode path can maintain a KV cache."""
+
+    heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        dense = lambda name: nn.Dense(inner, use_bias=False,
+                                      dtype=self.dtype,
+                                      param_dtype=jnp.float32, name=name)
+        self.to_q = dense("to_q")
+        self.to_k = dense("to_k")
+        self.to_v = dense("to_v")
+        self.to_out = nn.Dense(inner, dtype=self.dtype,
+                               param_dtype=jnp.float32, name="to_out")
+
+    def _split(self, x):
+        b, s, _ = x.shape
+        return x.reshape(b, s, self.heads, self.head_dim)
+
+    def __call__(self, x, context=None, *, causal=False):
+        ctx = x if context is None else context
+        q = self._split(self.to_q(x))
+        k = self._split(self.to_k(ctx))
+        v = self._split(self.to_v(ctx))
+        out = dot_product_attention(q, k, v, causal=causal)
+        b, s = out.shape[:2]
+        return self.to_out(out.reshape(b, s, -1))
+
+    def project_kv(self, ctx):
+        return self._split(self.to_k(ctx)), self._split(self.to_v(ctx))
+
+    def attend_cached(self, x, k_cache, v_cache, pos):
+        """Single-position query against a static-shape cache.
+
+        x: [B, 1, inner]; k/v_cache: [B, T, H, D]; pos: current index —
+        positions > pos are masked out.
+        """
+        q = self._split(self.to_q(x))  # [B, 1, H, D]
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
+                            preferred_element_type=jnp.float32)
+        scores = scores * (self.head_dim ** -0.5)
+        t = k_cache.shape[1]
+        valid = jnp.arange(t)[None, None, None, :] <= pos
+        scores = jnp.where(valid, scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1).astype(v_cache.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v_cache)
+        b = out.shape[0]
+        return self.to_out(out.reshape(b, 1, -1))
+
+
+class _Block(nn.Module):
+    heads: int
+    head_dim: int
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.norm1 = LayerNormF32(name="norm1")
+        self.attn1 = _Attention(self.heads, self.head_dim, self.dtype,
+                                name="attn1")
+        self.norm2 = LayerNormF32(name="norm2")
+        self.attn2 = _Attention(self.heads, self.head_dim, self.dtype,
+                                name="attn2")
+        self.norm3 = LayerNormF32(name="norm3")
+        self.ff = GEGLUFeedForward(dtype=self.dtype, name="ff")
+
+    def __call__(self, x, context):
+        x = x + self.attn1(self.norm1(x), causal=True)
+        x = x + self.attn2(self.norm2(x), context)
+        x = x + self.ff(self.norm3(x))
+        return x
+
+
+class DecodeCache(NamedTuple):
+    """Static-shape KV caches: self[depth][B,T,H,D] x2, cross precomputed."""
+
+    self_k: jnp.ndarray  # [depth, B, T, H, D]
+    self_v: jnp.ndarray
+    cross_k: jnp.ndarray  # [depth, B, S_ctx, H, D]
+    cross_v: jnp.ndarray
+
+
+class RARM(nn.Module):
+    """The decoder-only retrieval transformer; pure function over params."""
+
+    config: RARMConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.token_emb = nn.Embed(cfg.vocab_size, cfg.inner_dim,
+                                  param_dtype=jnp.float32, name="token_emb")
+        # exactly seq_len positions: the decode sequence is [SOS, t0..t_{S-2}]
+        # (the reference's [inner, seq_len] table transposed)
+        self.positional_encoding = self.param(
+            "positional_encoding",
+            nn.initializers.normal(cfg.inner_dim ** -0.5),
+            (cfg.seq_len, cfg.inner_dim), jnp.float32)
+        self.blocks = [
+            _Block(cfg.heads, cfg.head_dim, self.dtype, name=f"block_{d}")
+            for d in range(cfg.depth)]
+        self.proj_out = nn.Dense(cfg.out_vocab, dtype=self.dtype,
+                                 param_dtype=jnp.float32, name="proj_out")
+
+    def _embed(self, tokens, pos_offset=0):
+        x = self.token_emb(tokens).astype(self.dtype)
+        pos = self.positional_encoding[
+            pos_offset: pos_offset + tokens.shape[1]]
+        return x + pos.astype(x.dtype)
+
+    def __call__(self, tokens, context):
+        """Teacher-forced forward: tokens [B, S] (SOS-prefixed, shifted),
+        context [B, S_ctx, context_dim] → logits [B, S, out_vocab]."""
+        x = self._embed(tokens)
+        context = context.astype(self.dtype)
+        for block in self.blocks:
+            x = block(x, context)
+        return self.proj_out(x).astype(jnp.float32)
+
+    # ---------- KV-cached decoding ----------
+
+    def init_cache(self, batch: int, context) -> DecodeCache:
+        cfg = self.config
+        t = cfg.seq_len  # decode sequence [SOS, t0..t_{S-2}]
+        shape = (cfg.depth, batch, t, cfg.heads, cfg.head_dim)
+        cross_k, cross_v = [], []
+        for block in self.blocks:
+            k, v = block.attn2.project_kv(context.astype(self.dtype))
+            cross_k.append(k)
+            cross_v.append(v)
+        return DecodeCache(
+            self_k=jnp.zeros(shape, dtype=self.dtype),
+            self_v=jnp.zeros(shape, dtype=self.dtype),
+            cross_k=jnp.stack(cross_k),
+            cross_v=jnp.stack(cross_v))
+
+    def decode_step(self, token, pos, cache: DecodeCache
+                    ) -> Tuple[jnp.ndarray, DecodeCache]:
+        """token [B] int32, pos scalar int32 → (logits [B, out_vocab],
+        updated cache)."""
+        x = (self.token_emb(token[:, None]).astype(self.dtype)
+             + jax.lax.dynamic_slice_in_dim(
+                 self.positional_encoding, pos, 1, axis=0
+             ).astype(self.dtype)[None])
+        sk, sv = cache.self_k, cache.self_v
+        for d, block in enumerate(self.blocks):
+            h = block.norm1(x)
+            q_in = h
+            k_new = block.attn1._split(block.attn1.to_k(h))  # [B,1,H,D]
+            v_new = block.attn1._split(block.attn1.to_v(h))
+            sk = sk.at[d].set(
+                jax.lax.dynamic_update_slice_in_dim(sk[d], k_new, pos,
+                                                    axis=1))
+            sv = sv.at[d].set(
+                jax.lax.dynamic_update_slice_in_dim(sv[d], v_new, pos,
+                                                    axis=1))
+            x = x + block.attn1.attend_cached(q_in, sk[d], sv[d], pos)
+            h = block.norm2(x)
+            x = x + block.attn2.attend_cached(
+                h, cache.cross_k[d], cache.cross_v[d],
+                cache.cross_k.shape[2] - 1)  # full cross context
+            x = x + block.ff(block.norm3(x))
+        logits = self.proj_out(x).astype(jnp.float32)[:, 0]
+        return logits, DecodeCache(sk, sv, cache.cross_k, cache.cross_v)
+
+    # ---------- training ----------
+
+    def training_loss(self, z_indices, neighbors, rng=None,
+                      p_mask: Optional[float] = None):
+        """z_indices [B, S] ground-truth VQ codes, neighbors [B, S_ctx, D].
+
+        Returns (loss, metrics). Applies the mask-token augmentation when
+        p_mask > 0 (reference get_r, transformer.py:191-205).
+        """
+        cfg = self.config
+        b = z_indices.shape[0]
+        r = neighbors
+        if p_mask is not None and rng is not None:
+            mask = jax.random.bernoulli(rng, p_mask, r.shape)
+            r = jnp.where(mask, jnp.float32(cfg.mask_token), r)
+        sos = jnp.full((b, 1), cfg.sos_token, dtype=z_indices.dtype)
+        inp = jnp.concatenate([sos, z_indices], axis=1)[:, :-1]
+        logits = self(inp, r)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, z_indices[..., None],
+                                   axis=-1)[..., 0]
+        loss = jnp.mean(nll)
+        return loss, {"loss": loss,
+                      "ppl": jnp.exp(loss)}
+
+
+def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Keep top-k logits, set the rest to -inf (transformer.py top_k_logits
+    semantics)."""
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    return jnp.where(logits < kth, -jnp.inf, logits)
+
+
+def sample_tokens(
+    model: RARM,
+    params,
+    neighbors: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    steps: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: int = 256,
+    guidance_scale: float = 1.0,
+) -> jnp.ndarray:
+    """KV-cached autoregressive sampling. neighbors [B, S_ctx, D].
+
+    Returns [B, seq_len] int32 VQ code indices. Jit-able end to end.
+    """
+    cfg = model.config
+    steps = steps or cfg.seq_len
+    if top_k:
+        top_k = min(top_k, cfg.out_vocab)
+    b = neighbors.shape[0]
+    use_cfg = guidance_scale != 1.0
+    ctx = neighbors
+    if use_cfg:
+        ctx = jnp.concatenate([neighbors, jnp.zeros_like(neighbors)], axis=0)
+    cache = model.apply(params, b * (2 if use_cfg else 1), ctx,
+                        method=RARM.init_cache)
+    sos = jnp.full((b,), cfg.sos_token, dtype=jnp.int32)
+
+    def body(carry, step):
+        token, cache, rng = carry
+        tok_in = jnp.concatenate([token, token], axis=0) if use_cfg else token
+        logits, cache = model.apply(params, tok_in, step, cache,
+                                    method=RARM.decode_step)
+        if use_cfg:
+            lc, lu = jnp.split(logits, 2, axis=0)
+            logits = lu + guidance_scale * (lc - lu)
+        logits = logits / temperature
+        if top_k:
+            logits = top_k_filter(logits, top_k)
+        rng, sub = jax.random.split(rng)
+        nxt = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+        return (nxt, cache, rng), nxt
+
+    (_, _, _), tokens = jax.lax.scan(
+        body, (sos, cache, rng), jnp.arange(steps, dtype=jnp.int32))
+    return jnp.transpose(tokens, (1, 0))  # [B, steps]

@@ -1,0 +1,155 @@
+"""Fused flash-attention TPU kernel (Pallas).
+
+Covers the RDM U-Net's hot self-attention (<=4096 latent tokens) — the
+"hottest" inner loop identified in SURVEY.md §3-A against
+/root/reference/rdm/modules/attention.py:52-72 (einsum QK^T → softmax → V).
+
+Design (TPU-first, per the Pallas guide):
+- Grid over (batch, heads, q-blocks); the full K/V for one (batch, head) pair
+  rides in VMEM (<=4096 x 128 bf16 = 1 MB each), so the score matrix never
+  touches HBM — the win over the unfused path, whose [B,H,S,S] fp32 scores
+  (64 MB at S=4096) spill.
+- QK^T and PV land on the MXU with fp32 accumulation
+  (preferred_element_type); softmax runs on the VPU in fp32.
+- K blocks are revisited across q-blocks with identical index maps, so the
+  Pallas pipeline keeps them resident instead of re-fetching.
+- Differentiable via jax.custom_vjp: forward is the fused kernel; backward
+  re-runs the mathematically identical XLA attention under jax.vjp
+  (recompute-style — trades FLOPs for never materializing fwd residuals).
+
+Shape convention matches rdm_tpu.ops.attention: BSHD = [batch, seq, heads,
+head_dim].
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
+                 sq: int, sk: int, block_q: int):
+    """One q-block vs the full key sequence of one (batch, head)."""
+    q = q_ref[0, :, 0, :]  # [BQ, D]
+    k = k_ref[0, :, 0, :]  # [Sk, D]
+    v = v_ref[0, :, 0, :]  # [Sk, D]
+
+    scores = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, Sk]
+    scores = scores * scale
+
+    if causal:
+        i = pl.program_id(2)
+        q_pos = (jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 0)
+                 + i * block_q + (sk - sq))
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
+        scores = jnp.where(k_pos <= q_pos, scores, _NEG_INF)
+
+    # numerically stable softmax in fp32 on the VPU
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+
+    out = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [BQ, D]
+    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, scale: float, causal: bool):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    block_q = min(512, sq)
+    while sq % block_q:
+        block_q //= 2
+    grid = (b, h, sq // block_q)
+
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, causal=causal, sq=sq, sk=sk,
+        block_q=block_q,
+    )
+    flops = 4 * b * h * sq * sk * d
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops,
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
+            transcendentals=b * h * sq * sk,
+        ),
+    )(q, k, v)
+
+
+def _xla_reference(q, k, v, scale: float, causal: bool):
+    """Unfused reference with identical semantics; used for the backward."""
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if causal:
+        sq, sk = q.shape[1], k.shape[1]
+        qi = jnp.arange(sq)[:, None] + (sk - sq)
+        kj = jnp.arange(sk)[None, :]
+        scores = jnp.where((kj <= qi)[None, None], scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash(q, k, v, scale, causal):
+    return _flash_forward(q, k, v, scale, causal)
+
+
+def _flash_fwd(q, k, v, scale, causal):
+    return _flash_forward(q, k, v, scale, causal), (q, k, v)
+
+
+def _flash_bwd(scale, causal, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale,
+                                                       causal), q, k, v)
+    return vjp(g)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fused attention over BSHD tensors. Key-padding masks are not fused;
+    callers with masks route to the XLA path (rdm_tpu.ops.attention)."""
+    if mask is not None:
+        raise NotImplementedError("flash kernel does not take padding masks")
+    if scale is None:
+        scale = q.shape[-1] ** -0.5
+    return _flash(q, k, v, float(scale), bool(causal))

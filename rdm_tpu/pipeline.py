@@ -1,0 +1,355 @@
+"""High-level inference pipelines: model + first stage + retrieval + CLIP.
+
+The orchestration layer behind scripts/rdm_sample.py and
+scripts/rarm_sample.py — the TPU-native counterpart of the reference's
+`sample_from_rdata` / `sample_with_query` driver logic
+(/root/reference/rdm/models/diffusion/ddpm.py:688-984,
+/root/reference/rdm/models/autoregression/transformer.py:296-391).
+
+Semantics kept:
+- unconditional sampling draws query ids from the nn-memory top-M
+  (frequency-weighted optionally), looks their embeddings up in the pool,
+  retrieves k_nn neighbors, and conditions on them.
+- query sampling inserts the (CLIP text/image) query embedding as neighbor
+  #0 (ddpm.py:775); --omit_query drops it; --only_caption uses the query as
+  the single pseudo-neighbor.
+- the CFG null context is the guidance vector rescaled to the given label
+  norm — both reference CLIs pass 0.0, i.e. a zero vector (ddpm.py:673-680,
+  rdm_sample.py:251 / rarm_sample.py).
+- EMA weights are used for sampling when available (ema_scope equivalent).
+
+Everything device-side is jitted once per (batch, k, steps) shape; retrieval
+and the DDIM loop run inside a single program so kNN overlaps the previous
+batch's decode via XLA async dispatch.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdm_tpu.config import (
+    first_stage_config_from_yaml,
+    load_config,
+    model_config_from_yaml,
+)
+from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
+from rdm_tpu.models.clip import CLIP, ClipConfig
+from rdm_tpu.models.rarm import RARM, RARMConfig, sample_tokens
+from rdm_tpu.models.rdm import RDM, RDMConfig, sample_with_neighbors
+from rdm_tpu.ops.schedules import DiffusionSchedule
+from rdm_tpu.retrieval.database import DataPool, NNMemory
+from rdm_tpu.retrieval.engine import RetrievalEngine
+from rdm_tpu.sampling import DDIMSamplerConfig
+from rdm_tpu.utils.tokenizer import tokenize
+
+
+def to_uint8(images: np.ndarray) -> np.ndarray:
+    """float [-1,1] NHWC → uint8."""
+    x = np.clip((np.asarray(images) + 1.0) / 2.0, 0.0, 1.0)
+    return (x * 255).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class _Retrieval:
+    engine: RetrievalEngine
+    memory: Optional[NNMemory]
+
+    def sample_query_embeddings(self, n: int, memsize, use_weights: bool,
+                                rng: np.random.Generator,
+                                qids: Optional[np.ndarray] = None
+                                ) -> np.ndarray:
+        if qids is None:
+            if self.memory is not None:
+                qids = self.memory.sample_qids(
+                    n, memsize=memsize, use_weights=use_weights, rng=rng)
+            else:
+                qids = rng.integers(0, self.engine.size, size=n)
+        return self.engine.pool.embeddings[np.asarray(qids)]
+
+
+class RDMPipeline:
+    """Retrieval-augmented diffusion sampling, end to end."""
+
+    def __init__(self, config: RDMConfig, params,
+                 first_stage_config: AutoencoderConfig, first_stage_params,
+                 pool: Optional[DataPool] = None,
+                 memory: Optional[NNMemory] = None,
+                 clip_params=None, clip_config: Optional[ClipConfig] = None,
+                 dtype=jnp.bfloat16, mesh=None):
+        self.config = config
+        self.model = RDM(config, dtype=dtype)
+        self.params = params
+        self.first_stage = VQModel(first_stage_config, dtype=dtype)
+        self.first_stage_params = first_stage_params
+        self.schedule = DiffusionSchedule.create(
+            config.timesteps, config.beta_schedule, config.linear_start,
+            config.linear_end)
+        self.retrieval = None
+        if pool is not None:
+            self.retrieval = _Retrieval(
+                RetrievalEngine(pool, mesh=mesh), memory)
+        self.clip = CLIP(clip_config or ClipConfig.vit_b32(), dtype=dtype) \
+            if clip_params is not None else None
+        self.clip_params = clip_params
+        self._decode = jax.jit(lambda p, z: self.first_stage.apply(
+            p, z, force_not_quantize=False, method=VQModel.decode))
+
+    # ---------- loading ----------
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str, *,
+                       database: Optional[str] = None,
+                       nn_memory: Optional[str] = None,
+                       clip_ckpt: Optional[str] = None,
+                       random_init: bool = False,
+                       seed: int = 0, **kw) -> "RDMPipeline":
+        """model_dir holds config.yaml (+ model.ckpt, torch or orbax)."""
+        cfg_yaml = load_config([os.path.join(model_dir, "config.yaml")])
+        config = model_config_from_yaml(cfg_yaml)
+        fs_config = first_stage_config_from_yaml(cfg_yaml)
+        ckpt = os.path.join(model_dir, "model.ckpt")
+        clip_params = clip_config = None
+        if os.path.isfile(ckpt) and not random_init:
+            from rdm_tpu.utils.torch_convert import (
+                convert_rdm, load_torch_state_dict)
+            sd = load_torch_state_dict(ckpt)
+            params, fs_params = convert_rdm(sd, config.unet, fs_config,
+                                            use_ema=True)
+        else:
+            params, fs_params = cls._random_params(config, fs_config, seed)
+        if clip_ckpt and os.path.isfile(clip_ckpt):
+            from rdm_tpu.utils.torch_convert import (
+                convert_clip, load_torch_state_dict)
+            clip_params, clip_config = convert_clip(
+                load_torch_state_dict(clip_ckpt))
+        pool = DataPool.load(database) if database else None
+        memory = NNMemory.load(nn_memory) if nn_memory else None
+        return cls(config, params, fs_config, fs_params, pool=pool,
+                   memory=memory, clip_params=clip_params,
+                   clip_config=clip_config, **kw)
+
+    @staticmethod
+    def _random_params(config: RDMConfig, fs_config: AutoencoderConfig,
+                       seed: int):
+        model = RDM(config)
+        x = jnp.zeros((1, config.image_size, config.image_size,
+                       config.channels))
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(seed), x, jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, config.k_nn, config.context_dim)))
+        fs = VQModel(fs_config)
+        z = jnp.zeros((1, config.image_size, config.image_size,
+                       fs_config.embed_dim))
+        # init through the quantized-decode path so quantize/embedding exists
+        fs_params = jax.jit(lambda r: fs.init(
+            r, z, force_not_quantize=False, method=VQModel.decode))(
+            jax.random.PRNGKey(seed + 1))
+        return params, fs_params
+
+    # ---------- conditioning assembly ----------
+
+    def embed_caption(self, caption: str, batch_size: int) -> np.ndarray:
+        if self.clip is None or self.clip_params is None:
+            raise ValueError("caption sampling requires CLIP weights "
+                             "(clip_ckpt)")
+        toks = jnp.asarray(tokenize([caption] * batch_size))
+        return np.asarray(self.clip.apply(self.clip_params, toks,
+                                          method=CLIP.encode_text))
+
+    # ---------- sampling ----------
+
+    def sample_unconditional(
+            self, batch_size: int, *, k_nn: Optional[int] = None,
+            steps: int = 100, guidance_scale: float = 2.0,
+            memsize=0.01, use_weights: bool = False,
+            qids: Optional[np.ndarray] = None, seed: int = 0,
+            return_nns: bool = False) -> Dict[str, Any]:
+        """sample_from_rdata equivalent (ddpm.py:877-984)."""
+        if self.retrieval is None:
+            raise ValueError("unconditional sampling requires a database")
+        k_nn = k_nn or self.config.k_nn
+        rng = np.random.default_rng(seed)
+        q_emb = self.retrieval.sample_query_embeddings(
+            batch_size, memsize, use_weights, rng, qids=qids)
+        found = self.retrieval.engine.search(jnp.asarray(q_emb), k=k_nn)
+        neighbors = jnp.asarray(found["embeddings"], dtype=jnp.float32)
+        images = self._run_ddim(neighbors, steps, guidance_scale, seed)
+        out = {"samples_with_sampled_nns": images}
+        if return_nns:
+            out["nn_embeddings"] = np.asarray(found["embeddings"])
+            out["nn_ids"] = np.asarray(found["nns"])
+        return out
+
+    def sample_with_query(
+            self, query_embeddings: np.ndarray, *,
+            k_nn: Optional[int] = None, steps: int = 100,
+            guidance_scale: float = 2.0, omit_query: bool = False,
+            only_query: bool = False, seed: int = 0) -> Dict[str, Any]:
+        """sample_with_query equivalent (ddpm.py:688-844): query embedding
+        becomes neighbor #0 unless omitted; only_query skips retrieval."""
+        k_nn = k_nn or self.config.k_nn
+        q = np.asarray(query_embeddings, dtype=np.float32)
+        if only_query:
+            neighbors = q[:, None]
+        else:
+            if self.retrieval is None:
+                raise ValueError("query sampling with retrieval requires a "
+                                 "database")
+            found = self.retrieval.engine.search(jnp.asarray(q), k=k_nn)
+            r_emb = np.asarray(found["embeddings"], dtype=np.float32)
+            if omit_query:
+                neighbors = r_emb
+            else:
+                neighbors = np.concatenate(
+                    [q[:, None], r_emb[:, :k_nn - 1]], axis=1)
+        images = self._run_ddim(jnp.asarray(neighbors), steps,
+                                guidance_scale, seed)
+        return {"query_samples": images}
+
+    def sample_with_caption(self, caption: str, batch_size: int,
+                            **kw) -> Dict[str, Any]:
+        q = self.embed_caption(caption, batch_size)
+        return self.sample_with_query(q, **kw)
+
+    def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
+                  guidance_scale: float, seed: int) -> np.ndarray:
+        sampler = DDIMSamplerConfig(num_steps=steps,
+                                    guidance_scale=guidance_scale)
+        # reference CLIs pass unconditional_retro_guidance_label=0.0:
+        # the null context is the guidance vector scaled to norm zero
+        z = sample_with_neighbors(
+            self.model, self.params, neighbors, self.schedule, sampler,
+            jax.random.PRNGKey(seed), guidance_label=0.0)
+        images = self._decode(self.first_stage_params, z)
+        return to_uint8(images)
+
+
+class RARMPipeline:
+    """Retrieval-augmented autoregressive sampling (KV-cached)."""
+
+    def __init__(self, config: RARMConfig, params,
+                 first_stage_config: AutoencoderConfig, first_stage_params,
+                 pool: Optional[DataPool] = None,
+                 memory: Optional[NNMemory] = None,
+                 clip_params=None, clip_config: Optional[ClipConfig] = None,
+                 dtype=jnp.bfloat16, mesh=None):
+        self.config = config
+        self.model = RARM(config, dtype=dtype)
+        self.params = params
+        self.first_stage = VQModel(first_stage_config, dtype=dtype)
+        self.first_stage_params = first_stage_params
+        self.retrieval = None
+        if pool is not None:
+            self.retrieval = _Retrieval(
+                RetrievalEngine(pool, mesh=mesh), memory)
+        self.clip = CLIP(clip_config or ClipConfig.vit_b32(), dtype=dtype) \
+            if clip_params is not None else None
+        self.clip_params = clip_params
+        self._decode_code = jax.jit(lambda p, idx: self.first_stage.apply(
+            p, idx, method=VQModel.decode_code))
+
+    @classmethod
+    def from_model_dir(cls, model_dir: str, *,
+                       database: Optional[str] = None,
+                       nn_memory: Optional[str] = None,
+                       clip_ckpt: Optional[str] = None,
+                       random_init: bool = False, seed: int = 0,
+                       **kw) -> "RARMPipeline":
+        cfg_yaml = load_config([os.path.join(model_dir, "config.yaml")])
+        config = model_config_from_yaml(cfg_yaml)
+        fs_config = first_stage_config_from_yaml(cfg_yaml)
+        ckpt = os.path.join(model_dir, "model.ckpt")
+        clip_params = clip_config = None
+        if os.path.isfile(ckpt) and not random_init:
+            from rdm_tpu.utils.torch_convert import (
+                convert_rarm, load_torch_state_dict)
+            sd = load_torch_state_dict(ckpt)
+            params, fs_params = convert_rarm(sd, config, fs_config)
+        else:
+            params, fs_params = cls._random_params(config, fs_config, seed)
+        if clip_ckpt and os.path.isfile(clip_ckpt):
+            from rdm_tpu.utils.torch_convert import (
+                convert_clip, load_torch_state_dict)
+            clip_params, clip_config = convert_clip(
+                load_torch_state_dict(clip_ckpt))
+        pool = DataPool.load(database) if database else None
+        memory = NNMemory.load(nn_memory) if nn_memory else None
+        return cls(config, params, fs_config, fs_params, pool=pool,
+                   memory=memory, clip_params=clip_params,
+                   clip_config=clip_config, **kw)
+
+    @staticmethod
+    def _random_params(config: RARMConfig, fs_config: AutoencoderConfig,
+                       seed: int):
+        model = RARM(config)
+        params = jax.jit(model.init)(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, config.seq_len, config.context_dim)))
+        fs = VQModel(fs_config)
+        idx = jnp.zeros((1, config.code_side, config.code_side), jnp.int32)
+        fs_params = jax.jit(lambda r: fs.init(
+            r, idx, method=VQModel.decode_code))(jax.random.PRNGKey(seed + 1))
+        return params, fs_params
+
+    def sample_unconditional(
+            self, batch_size: int, *, k_nn: int = 4, top_k: int = 256,
+            temperature: float = 1.0, guidance_scale: float = 1.0,
+            memsize=100, use_weights: bool = False,
+            qids: Optional[np.ndarray] = None, seed: int = 0
+    ) -> Dict[str, Any]:
+        """sample_from_rdata equivalent (transformer.py:296-391)."""
+        if self.retrieval is None:
+            raise ValueError("unconditional sampling requires a database")
+        rng = np.random.default_rng(seed)
+        q_emb = self.retrieval.sample_query_embeddings(
+            batch_size, memsize, use_weights, rng, qids=qids)
+        found = self.retrieval.engine.search(jnp.asarray(q_emb), k=k_nn)
+        neighbors = jnp.asarray(found["embeddings"], dtype=jnp.float32)
+        return {"samples_with_sampled_nns": self._generate(
+            neighbors, top_k, temperature, guidance_scale, seed)}
+
+    def sample_with_query(self, query_embeddings: np.ndarray, *,
+                          k_nn: int = 4, top_k: int = 256,
+                          temperature: float = 1.0,
+                          guidance_scale: float = 1.0,
+                          only_query: bool = False,
+                          unconditional: bool = False,
+                          seed: int = 0) -> Dict[str, Any]:
+        q = np.asarray(query_embeddings, dtype=np.float32)
+        if unconditional:
+            neighbors = np.zeros_like(q)[:, None]
+        elif only_query:
+            neighbors = q[:, None]
+        else:
+            found = self.retrieval.engine.search(jnp.asarray(q), k=k_nn)
+            r_emb = np.asarray(found["embeddings"], dtype=np.float32)
+            neighbors = np.concatenate([q[:, None], r_emb[:, :k_nn - 1]],
+                                       axis=1)
+        return {"query_samples": self._generate(
+            jnp.asarray(neighbors), top_k, temperature, guidance_scale,
+            seed)}
+
+    def embed_caption(self, caption: str, batch_size: int) -> np.ndarray:
+        if self.clip is None:
+            raise ValueError("caption sampling requires CLIP weights")
+        toks = jnp.asarray(tokenize([caption] * batch_size))
+        return np.asarray(self.clip.apply(self.clip_params, toks,
+                                          method=CLIP.encode_text))
+
+    def _generate(self, neighbors, top_k, temperature, guidance_scale,
+                  seed) -> np.ndarray:
+        tokens = sample_tokens(
+            self.model, self.params, neighbors, jax.random.PRNGKey(seed),
+            temperature=temperature, top_k=top_k,
+            guidance_scale=guidance_scale)
+        side = self.config.code_side
+        grid = tokens.reshape(-1, side, side)
+        images = self._decode_code(self.first_stage_params, grid)
+        return to_uint8(images)

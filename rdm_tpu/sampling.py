@@ -1,0 +1,116 @@
+"""Jit-compiled samplers: DDIM (RDM) with classifier-free guidance.
+
+TPU-first re-design of the reference DDIMSampler
+(/root/reference/rdm/models/diffusion/ddim.py:58-268):
+
+- The whole reverse process is ONE compiled program: `lax.scan` over the
+  (static) DDIM step tables — no per-step Python dispatch, no host sync.
+- CFG doubles the batch through a single denoiser call per step (parity with
+  ddim.py:229-238) so the U-Net always sees one static batch shape.
+- Schedule math stays float32 (tables baked as compile-time constants);
+  the model runs in its own compute dtype.
+- Optional per-step intermediates (pred_x0 trajectory) via scan outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule, ddim_step
+
+# denoiser: (x, t, context) -> eps prediction
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+@dataclasses.dataclass(frozen=True)
+class DDIMSamplerConfig:
+    num_steps: int = 100
+    eta: float = 0.0
+    method: str = "uniform"
+    temperature: float = 1.0
+    guidance_scale: float = 1.0  # 1.0 => no CFG branch compiled in
+    log_every_t: int = 0  # 0 => no intermediates
+
+
+def ddim_sample(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    config: DDIMSamplerConfig,
+    shape: Tuple[int, ...],
+    context: Optional[jnp.ndarray],
+    rng: jax.Array,
+    *,
+    uncond_context: Optional[jnp.ndarray] = None,
+    x_init: Optional[jnp.ndarray] = None,
+    mask: Optional[jnp.ndarray] = None,
+    x0: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Run the full DDIM reverse process.
+
+    Args:
+      denoise_fn: eps-model `(x[B,...], t[B], context[B,S,D]) -> eps[B,...]`.
+      shape: static output shape (B, H, W, C).
+      context: conditioning sequence, or None for an unconditional model.
+      uncond_context: CFG null conditioning (same shape as context). Required
+        when config.guidance_scale != 1.
+      x_init: optional starting noise (defaults to N(0,1)).
+      mask/x0: optional inpainting blend — keep x0 where mask==1
+        (reference ddim.py:187-190).
+
+    Returns:
+      (x_0 sample, pred_x0 intermediates [n_logged, B, ...] or None)
+    """
+    ddim = DDIMSchedule.create(
+        schedule, config.num_steps, eta=config.eta, method=config.method)
+    use_cfg = config.guidance_scale != 1.0
+    if use_cfg and uncond_context is None:
+        raise ValueError("guidance_scale != 1 requires uncond_context")
+
+    rng, init_rng = jax.random.split(rng)
+    x = (x_init if x_init is not None
+         else jax.random.normal(init_rng, shape, dtype=jnp.float32))
+
+    if use_cfg:
+        ctx_both = jnp.concatenate([context, uncond_context], axis=0)
+
+    def eps_model(x, t):
+        if context is None:
+            return denoise_fn(x, t, None)
+        if not use_cfg:
+            return denoise_fn(x, t, context)
+        x2 = jnp.concatenate([x, x], axis=0)
+        t2 = jnp.concatenate([t, t], axis=0)
+        eps2 = denoise_fn(x2, t2, ctx_both)
+        eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+        return eps_u + config.guidance_scale * (eps_c - eps_u)
+
+    steps = ddim.num_steps
+
+    def body(carry, step):
+        x, rng = carry
+        index = steps - 1 - step  # descending through the tables
+        t = jnp.full((shape[0],), ddim.timesteps[index], dtype=jnp.int32)
+        eps = eps_model(x, t)
+        rng, nrng, mrng = jax.random.split(rng, 3)
+        noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
+        x_prev, pred_x0 = ddim_step(
+            ddim, x, eps, index, noise, temperature=config.temperature)
+        if mask is not None:
+            # re-noise x0 to the *previous* timestep and blend
+            from rdm_tpu.ops.schedules import q_sample
+            t_prev = jnp.maximum(t - 1, 0)
+            noised = q_sample(schedule, x0, t_prev,
+                              jax.random.normal(mrng, shape, jnp.float32))
+            x_prev = mask * noised + (1.0 - mask) * x_prev
+        out = pred_x0 if config.log_every_t else None
+        return (x_prev, rng), out
+
+    (x, _), interm = jax.lax.scan(
+        body, (x, rng), jnp.arange(steps, dtype=jnp.int32))
+    if config.log_every_t:
+        interm = interm[:: config.log_every_t]
+    return x, interm

@@ -1,0 +1,100 @@
+"""Sharded training step for RDM.
+
+Replaces the reference's PyTorch-Lightning + DDP training path
+(/root/reference/main.py:784-785, ddpm.py:390-398) with a single jitted
+function over the global mesh:
+
+- params / opt-state / EMA replicated over the mesh; batch sharded over the
+  `data` axis — XLA inserts the gradient all-reduce over ICI (the NCCL
+  all-reduce equivalent, SURVEY.md §2.5).
+- gradient rematerialization: the loss closure is wrapped in
+  `jax.checkpoint` with a dots-saveable policy so the U-Net's matmuls are
+  kept and the rest recomputed (the reference's `use_checkpoint: true`).
+- EMA update fused into the step (LitEma equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rdm_tpu.models.rdm import RDM
+from rdm_tpu.ops.schedules import DiffusionSchedule
+from rdm_tpu.training.ema import EmaState, ema_init, ema_update
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema: EmaState
+
+
+def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        params=params,
+        opt_state=tx.init(params["params"] if "params" in params else params),
+        ema=ema_init(params),
+    )
+
+
+def make_train_step(
+    model: RDM,
+    tx: optax.GradientTransformation,
+    schedule: DiffusionSchedule,
+    *,
+    mesh: Optional[Mesh] = None,
+    ema_decay: float = 0.9999,
+    remat: bool = True,
+) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array],
+              Tuple[TrainState, dict]]:
+    """Build the jitted train step.
+
+    step(state, z[B,H,W,C], neighbors[B,n,k,D], rng) -> (state, metrics).
+    `z` is the already-encoded (and scaled) latent batch — first-stage
+    encoding happens in the input pipeline or a separate frozen pass.
+    """
+
+    def loss_fn(params, z, neighbors, rng):
+        return model.apply(params, z, neighbors, rng, schedule,
+                           deterministic=False, method=RDM.training_loss,
+                           rngs={"dropout": jax.random.fold_in(rng, 1)})
+
+    if remat:
+        loss_fn = jax.checkpoint(
+            loss_fn, policy=jax.checkpoint_policies.dots_saveable)
+
+    def train_step(state: TrainState, z, neighbors, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, metrics), grads = grad_fn(state.params, z, neighbors, rng)
+        inner = "params" in state.params
+        g = grads["params"] if inner else grads
+        p = state.params["params"] if inner else state.params
+        updates, opt_state = tx.update(g, state.opt_state, p)
+        new_p = optax.apply_updates(p, updates)
+        new_params = {**state.params, "params": new_p} if inner else new_p
+        ema = ema_update(state.ema, new_params, decay=ema_decay)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               opt_state=opt_state, ema=ema)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(g)
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

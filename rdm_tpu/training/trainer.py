@@ -1,0 +1,211 @@
+"""Training driver — the TPU-native equivalent of the reference's
+PyTorch-Lightning main.py loop (/root/reference/main.py:681-1048):
+
+- LR scaling rule `lr = accumulate x n_data_devices x batch x base_lr`
+  (main.py:992-1000).
+- scalar logging to <logdir>/metrics.jsonl + stdout (TestTube/TB stand-in).
+- periodic image logging: EMA-weighted samples conditioned on the current
+  batch's neighbors, saved as PNG grids under <logdir>/images/<split>/
+  (ImageLogger, main.py:541-656).
+- Orbax checkpointing: `last` every ckpt_every steps + monitored-metric
+  bookkeeping; SIGUSR1 and exception-triggered saves (main.py:1003-1029).
+- resume from the latest checkpoint in the run dir.
+
+The device step itself lives in rdm_tpu.training.train_state (pjit over the
+(data, db) mesh); this file only orchestrates host-side IO around it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
+from rdm_tpu.models.rdm import RDM, RDMConfig, sample_with_neighbors
+from rdm_tpu.ops.schedules import DiffusionSchedule
+from rdm_tpu.sampling import DDIMSamplerConfig
+from rdm_tpu.training.checkpoint import (
+    CheckpointManager,
+    install_signal_checkpoint,
+)
+from rdm_tpu.training.optim import make_optimizer
+from rdm_tpu.training.train_state import (
+    TrainState,
+    init_train_state,
+    make_train_step,
+)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    logdir: str = "logs/run"
+    base_lr: float = 1e-4
+    scale_lr: bool = True
+    max_steps: int = 100_000
+    log_every: int = 50
+    ckpt_every: int = 1000
+    image_log_every: int = 5000
+    image_log_steps: int = 20  # DDIM steps for logged samples
+    accumulate_grad_batches: int = 1
+    ema_decay: float = 0.9999
+    warm_up_steps: int = 100
+    grad_clip: Optional[float] = None
+    seed: int = 0
+    monitor: str = "loss_simple"
+    max_ckpts: int = 3
+
+
+class RDMTrainer:
+    def __init__(self, config: RDMConfig, trainer: TrainerConfig,
+                 first_stage_config: AutoencoderConfig,
+                 first_stage_params: Any, mesh=None,
+                 batch_size: Optional[int] = None):
+        self.cfg = config
+        self.tcfg = trainer
+        self.mesh = mesh
+        n_data = 1
+        if mesh is not None:
+            n_data = mesh.shape.get("data", 1)
+        lr = trainer.base_lr
+        if trainer.scale_lr and batch_size is not None:
+            lr = (trainer.accumulate_grad_batches * n_data * batch_size
+                  * trainer.base_lr)
+            print(f"lr scaled to {lr:.3e} = accum({trainer.accumulate_grad_batches})"
+                  f" * devices({n_data}) * bs({batch_size}) * base({trainer.base_lr:.2e})")
+        self.model = RDM(config, dtype=jnp.bfloat16)
+        self.schedule = DiffusionSchedule.create(
+            config.timesteps, config.beta_schedule, config.linear_start,
+            config.linear_end)
+        self.tx = make_optimizer(
+            lr, warm_up_steps=trainer.warm_up_steps,
+            grad_clip=trainer.grad_clip,
+            accumulate_steps=trainer.accumulate_grad_batches)
+        self.step_fn = make_train_step(
+            self.model, self.tx, self.schedule, mesh=mesh,
+            ema_decay=trainer.ema_decay)
+        self.first_stage = VQModel(first_stage_config, dtype=jnp.bfloat16)
+        self.first_stage_params = first_stage_params
+        # LDM trains on the PRE-quantization latent (VQModelInterface.encode)
+        self._encode = jax.jit(lambda p, x: self.first_stage.apply(
+            p, x, method=VQModel.encode_prequant) * config.scale_factor)
+        self._decode = jax.jit(lambda p, z: self.first_stage.apply(
+            p, z / config.scale_factor, force_not_quantize=False,
+            method=VQModel.decode))
+        os.makedirs(trainer.logdir, exist_ok=True)
+        os.makedirs(os.path.join(trainer.logdir, "images", "train"),
+                    exist_ok=True)
+        self.ckpt = CheckpointManager(
+            os.path.join(trainer.logdir, "checkpoints"),
+            max_to_keep=trainer.max_ckpts, monitor=trainer.monitor)
+        self._metrics_f = open(
+            os.path.join(trainer.logdir, "metrics.jsonl"), "a")
+
+    # ---------- state ----------
+
+    def init_state(self) -> TrainState:
+        cfg = self.cfg
+        x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.channels))
+        params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(self.tcfg.seed), x,
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, cfg.k_nn, cfg.context_dim)))
+        return init_train_state(params, self.tx)
+
+    def resume_or_init(self) -> TrainState:
+        state = self.init_state()
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            print(f"resuming from step {latest}")
+            return self.ckpt.restore(state, latest)
+        return state
+
+    # ---------- batch plumbing ----------
+
+    def prepare_batch(self, batch: Dict[str, np.ndarray]):
+        """host batch {'image' [B,H,W,3] in [-1,1], 'nn_embeddings'
+        [B,n,k,D]} → (z latents, neighbor context)."""
+        x = jnp.asarray(batch["image"], dtype=jnp.float32)
+        z = self._encode(self.first_stage_params, x)
+        nns = jnp.asarray(batch["nn_embeddings"], dtype=jnp.float32)
+        return z, nns
+
+    # ---------- loop ----------
+
+    def fit(self, loader: Iterable, state: Optional[TrainState] = None,
+            max_steps: Optional[int] = None) -> TrainState:
+        state = state if state is not None else self.resume_or_init()
+        max_steps = max_steps or self.tcfg.max_steps
+        rng = jax.random.PRNGKey(self.tcfg.seed + 1)
+        install_signal_checkpoint(
+            lambda: self._save(state, {}, wait=True))
+        t0 = time.time()
+        seen = 0
+        try:
+            while int(state.step) < max_steps:
+                for batch in loader:
+                    step = int(state.step)
+                    if step >= max_steps:
+                        break
+                    z, nns = self.prepare_batch(batch)
+                    state, metrics = self.step_fn(state, z, nns, rng)
+                    seen += z.shape[0]
+                    if step % self.tcfg.log_every == 0:
+                        self._log(step, metrics, seen, time.time() - t0)
+                    if step and step % self.tcfg.ckpt_every == 0:
+                        self._save(state, metrics)
+                    if (self.tcfg.image_log_every
+                            and step % self.tcfg.image_log_every == 0):
+                        self._log_images(state, nns, step)
+        except BaseException:
+            print("exception — saving checkpoint before exit")
+            self._save(state, {}, wait=True)
+            raise
+        self._save(state, {}, wait=True)
+        return state
+
+    # ---------- logging / ckpt ----------
+
+    def _log(self, step: int, metrics: Dict[str, Any], seen: int,
+             elapsed: float) -> None:
+        row = {k: float(np.asarray(v)) for k, v in metrics.items()}
+        row.update(step=step, samples_seen=seen, wall_s=round(elapsed, 1),
+                   samples_per_sec=round(seen / max(elapsed, 1e-9), 2))
+        self._metrics_f.write(json.dumps(row) + "\n")
+        self._metrics_f.flush()
+        print(f"step {step}: " + " ".join(
+            f"{k}={v:.4g}" for k, v in row.items() if k != "step"))
+
+    def _save(self, state: TrainState, metrics: Dict[str, Any],
+              wait: bool = False) -> None:
+        self.ckpt.save(int(state.step), jax.device_get(state),
+                       metrics={k: np.asarray(v)
+                                for k, v in metrics.items()})
+        if wait:
+            self.ckpt.wait()
+
+    def _log_images(self, state: TrainState, nns, step: int,
+                    max_images: int = 4) -> None:
+        """EMA-weighted samples conditioned on the batch's neighbors
+        (ImageLogger/log_images equivalent)."""
+        from PIL import Image
+
+        from rdm_tpu.pipeline import to_uint8
+
+        nns = nns[:max_images]
+        z = sample_with_neighbors(
+            self.model, state.ema.params, nns, self.schedule,
+            DDIMSamplerConfig(num_steps=self.tcfg.image_log_steps,
+                              guidance_scale=1.0),
+            jax.random.PRNGKey(step))
+        imgs = to_uint8(self._decode(self.first_stage_params, z))
+        grid = np.concatenate(list(imgs), axis=1)  # horizontal strip
+        Image.fromarray(grid).save(os.path.join(
+            self.tcfg.logdir, "images", "train",
+            f"samples_gs-{step:06d}.png"))

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""RARM sampling CLI — flag-compatible with the reference surface
+(/root/reference/scripts/rarm_sample.py:165-188), TPU-native KV-cached
+backend.
+
+Unconditional:  python scripts/rarm_sample.py --model_path models/rarm/imagenet/dogs \\
+                    --database database/openimages --nn_memory nn_memory/oi_dogs.p
+Caption:        python scripts/rarm_sample.py --caption "a dog" --only_caption ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    p.add_argument("-s", "--savepath", type=str, default="out/rarm")
+    p.add_argument("--model_path", type=str,
+                   default="models/rarm/imagenet/dogs")
+    p.add_argument("--database", type=str, default=None)
+    p.add_argument("--nn_memory", type=str, default=None)
+    p.add_argument("--clip_ckpt", type=str, default=None)
+    p.add_argument("--save_nns", action="store_true")
+    p.add_argument("-bs", "--batch_size", type=int, default=4)
+    p.add_argument("-n", "--n_runs", type=int, default=2)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--guidance_scale", type=float, default=1.0)
+    p.add_argument("--top_m", type=float, default=100)
+    p.add_argument("--k_nn", type=int, default=4)
+    p.add_argument("--top_k", type=int, default=256)
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("-c", "--caption", type=str, default="")
+    p.add_argument("--only_caption", action="store_true")
+    p.add_argument("--unconditional", action="store_true",
+                   help="zero-vector neighbors")
+    p.add_argument("--use_weights", action="store_true")
+    p.add_argument("--random_init", action="store_true")
+    opt = p.parse_args()
+    if opt.top_m > 1.0:
+        opt.top_m = int(opt.top_m)
+    return opt
+
+
+def save_batch(logs: dict, savepath: str, stamp: str, run: int) -> None:
+    for key, value in logs.items():
+        arr = np.asarray(value)
+        if arr.ndim != 4 or arr.dtype != np.uint8:
+            continue
+        for bi, img in enumerate(arr):
+            Image.fromarray(img).save(os.path.join(
+                savepath, f"{stamp}-{key}-run{run}-sample{bi}.png"))
+
+
+def main() -> None:
+    opt = parse_args()
+    os.makedirs(opt.savepath, exist_ok=True)
+    from rdm_tpu.pipeline import RARMPipeline
+
+    pipe = RARMPipeline.from_model_dir(
+        opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
+        clip_ckpt=opt.clip_ckpt, random_init=opt.random_init)
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    query = None
+    if opt.caption:
+        query = pipe.embed_caption(opt.caption, opt.batch_size)
+    elif opt.unconditional:
+        query = np.zeros((opt.batch_size, pipe.config.context_dim),
+                         dtype=np.float32)
+
+    for n in range(opt.n_runs):
+        seed = opt.seed if opt.seed is not None else n
+        if query is None:
+            logs = pipe.sample_unconditional(
+                opt.batch_size, k_nn=opt.k_nn, top_k=opt.top_k,
+                temperature=opt.temperature,
+                guidance_scale=opt.guidance_scale, memsize=opt.top_m,
+                use_weights=opt.use_weights, seed=seed)
+        else:
+            logs = pipe.sample_with_query(
+                query, k_nn=opt.k_nn, top_k=opt.top_k,
+                temperature=opt.temperature,
+                guidance_scale=opt.guidance_scale,
+                only_query=opt.only_caption,
+                unconditional=opt.unconditional, seed=seed)
+        save_batch(logs, opt.savepath, stamp, n)
+        print(f"run {n + 1}/{opt.n_runs} done")
+    print("Done")
+
+
+if __name__ == "__main__":
+    main()

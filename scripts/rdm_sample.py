@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""RDM sampling CLI — flag-for-flag port of the reference surface
+(/root/reference/scripts/rdm_sample.py:22-143), TPU-native backend.
+
+Unconditional:  python scripts/rdm_sample.py --model_path models/rdm/imagenet \\
+                    --database database/imagenet --nn_memory nn_memory/in_in.p
+Caption:        python scripts/rdm_sample.py --caption "an oil painting" \\
+                    --clip_ckpt models/clip/ViT-B-32.pt ...
+
+Output files: <savepath>/<timestamp>-<key>-run<n>-sample<i>.png (reference
+naming, rdm_sample.py:253-261).
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+
+def parse_args() -> argparse.Namespace:
+    p = argparse.ArgumentParser()
+    p.add_argument("-s", "--savepath", type=str, default="out/rdm")
+    p.add_argument("--model_path", type=str, default="models/rdm/imagenet")
+    p.add_argument("--database", type=str, default=None,
+                   help="npz file/dir with the retrieval embeddings")
+    p.add_argument("--nn_memory", type=str, default=None,
+                   help="nn_memory pickle for top-m sampling")
+    p.add_argument("--clip_ckpt", type=str, default=None,
+                   help="OpenAI CLIP checkpoint for caption queries")
+    p.add_argument("--save_nns", action="store_true")
+    p.add_argument("-bs", "--batch_size", type=int, default=4)
+    p.add_argument("-n", "--n_runs", type=int, default=2)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--increase_guidance", action="store_true")
+    p.add_argument("--keep_qids", action="store_true")
+    p.add_argument("--guidance_scale", type=float, default=2.0)
+    p.add_argument("--top_m", type=float, default=0.01)
+    p.add_argument("--k_nn", type=int, default=4)
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("-c", "--caption", type=str, default="")
+    p.add_argument("--only_caption", action="store_true")
+    p.add_argument("--omit_query", action="store_true")
+    p.add_argument("--use_weights", action="store_true")
+    p.add_argument("--random_init", action="store_true",
+                   help="random weights (no checkpoint) — smoke testing")
+    opt = p.parse_args()
+    if opt.top_m > 1.0:
+        opt.top_m = int(opt.top_m)
+    return opt
+
+
+def save_batch(logs: dict, savepath: str, stamp: str, run: int) -> None:
+    for key, value in logs.items():
+        arr = np.asarray(value)
+        if arr.ndim != 4 or arr.dtype != np.uint8:
+            continue
+        for bi, img in enumerate(arr):
+            Image.fromarray(img).save(os.path.join(
+                savepath, f"{stamp}-{key}-run{run}-sample{bi}.png"))
+
+
+def main() -> None:
+    opt = parse_args()
+    os.makedirs(opt.savepath, exist_ok=True)
+    from rdm_tpu.pipeline import RDMPipeline
+
+    pipe = RDMPipeline.from_model_dir(
+        opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
+        clip_ckpt=opt.clip_ckpt, random_init=opt.random_init)
+
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+    qids = None
+    if opt.keep_qids and pipe.retrieval is not None:
+        rng = np.random.default_rng(opt.seed)
+        qids = pipe.retrieval.memory.sample_qids(
+            opt.batch_size, memsize=opt.top_m, use_weights=opt.use_weights,
+            rng=rng) if pipe.retrieval.memory else rng.integers(
+            0, pipe.retrieval.engine.size, opt.batch_size)
+
+    guidance = opt.guidance_scale
+    query = None
+    if opt.caption:
+        query = pipe.embed_caption(opt.caption, opt.batch_size)
+
+    for n in range(opt.n_runs):
+        seed = opt.seed if opt.seed is not None else n
+        if query is None:
+            logs = pipe.sample_unconditional(
+                opt.batch_size, k_nn=opt.k_nn, steps=opt.steps,
+                guidance_scale=guidance, memsize=opt.top_m,
+                use_weights=opt.use_weights, qids=qids, seed=seed,
+                return_nns=opt.save_nns)
+        else:
+            logs = pipe.sample_with_query(
+                query, k_nn=opt.k_nn if not opt.only_caption else 1,
+                steps=opt.steps, guidance_scale=guidance,
+                omit_query=opt.omit_query and not opt.only_caption,
+                only_query=opt.only_caption, seed=seed)
+        save_batch(logs, opt.savepath, stamp, n)
+        print(f"run {n + 1}/{opt.n_runs} done (guidance={guidance})")
+        if opt.increase_guidance:
+            guidance += 1.0
+    print("Done")
+
+
+if __name__ == "__main__":
+    main()

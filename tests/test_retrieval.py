@@ -1,0 +1,109 @@
+"""Retrieval engine tests: exact-kNN correctness vs a numpy oracle, sharded
+vs single-device equality on an 8-device CPU mesh, npz round-trip in the
+reference's database format, and nn-memory sampling semantics.
+
+Parity targets: dsetbuilder.py:478-518 (search), :199-259 (pool IO),
+ddpm.py:847-875 (top-M qid sampling).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rdm_tpu.parallel.mesh import DB_AXIS, make_mesh
+from rdm_tpu.retrieval.database import DataPool, NNMemory
+from rdm_tpu.retrieval.engine import RetrievalEngine, knn_search, l2_normalize
+
+
+def _oracle_knn(db, q, k):
+    dbn = db / np.linalg.norm(db, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    scores = qn @ dbn.T
+    idx = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, idx, axis=1), idx
+
+
+def _random_pool(n=1000, d=32, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    return DataPool(embeddings=emb,
+                    img_ids=np.arange(n, dtype=np.int64),
+                    patch_coords=rng.integers(0, 256, (n, 4)))
+
+
+def test_knn_single_device_matches_oracle():
+    pool = _random_pool()
+    q = np.random.default_rng(1).standard_normal((5, 32)).astype(np.float32)
+    eng = RetrievalEngine(pool, mesh=None, dtype=jnp.float32)
+    out = eng.search(jnp.asarray(q), k=4)
+    ref_scores, ref_idx = _oracle_knn(pool.embeddings, q, 4)
+    np.testing.assert_array_equal(np.asarray(out["nns"]), ref_idx)
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref_scores,
+                               atol=1e-4)
+    np.testing.assert_allclose(out["embeddings"],
+                               pool.embeddings[ref_idx], atol=1e-6)
+    np.testing.assert_array_equal(out["img_ids"], ref_idx)
+
+
+def test_knn_sharded_matches_single_device():
+    mesh = make_mesh(data=1, db=8)
+    pool = _random_pool(n=1024, d=32, seed=2)
+    q = np.random.default_rng(3).standard_normal((7, 32)).astype(np.float32)
+    ref_scores, ref_idx = _oracle_knn(pool.embeddings, q, 5)
+    eng = RetrievalEngine(pool, mesh=mesh, dtype=jnp.float32)
+    out = eng.search(jnp.asarray(q), k=5)
+    np.testing.assert_allclose(np.asarray(out["scores"]), ref_scores,
+                               atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["nns"]), ref_idx)
+
+
+def test_knn_sharded_with_padding():
+    """Pool size not divisible by shards*128 exercises the pad path."""
+    mesh = make_mesh(data=1, db=8)
+    pool = _random_pool(n=1000, d=32, seed=4)
+    q = np.random.default_rng(5).standard_normal((3, 32)).astype(np.float32)
+    ref_scores, ref_idx = _oracle_knn(pool.embeddings, q, 4)
+    eng = RetrievalEngine(pool, mesh=mesh, dtype=jnp.float32)
+    out = eng.search(jnp.asarray(q), k=4)
+    np.testing.assert_array_equal(np.asarray(out["nns"]), ref_idx)
+
+
+def test_pool_npz_roundtrip(tmp_path):
+    pool = _random_pool(n=300, d=16)
+    files = pool.save(str(tmp_path), chunk_size=128)
+    assert len(files) == 3  # 128+128+44
+    # reference-format keys present
+    data = np.load(files[0])
+    assert set(data.files) >= {"embedding", "img_id", "patch_coords"}
+    loaded = DataPool.load(str(tmp_path))
+    assert loaded.size == 300
+    np.testing.assert_allclose(
+        np.sort(loaded.embeddings.sum(1)), np.sort(pool.embeddings.sum(1)),
+        atol=1e-5)
+
+
+def test_nn_memory_build_and_sample(tmp_path):
+    neighbor_ids = np.array([[1, 2], [1, 3], [1, 2], [4, 2]])
+    mem = NNMemory.build(neighbor_ids)
+    # id 1 and 2 are most frequent (3 each)
+    assert set(mem.ids[:2]) == {1, 2}
+    assert mem.id_count[1] == 3 and mem.id_count[4] == 1
+    p = str(tmp_path / "mem.p")
+    mem.save(p)
+    mem2 = NNMemory.load(p)
+    np.testing.assert_array_equal(mem.ids, mem2.ids)
+    rng = np.random.default_rng(0)
+    qids = mem2.sample_qids(100, memsize=2, rng=rng)
+    assert set(qids) <= {1, 2}
+    qids_w = mem2.sample_qids(100, memsize=1.0, use_weights=True, rng=rng)
+    assert set(qids_w) <= set(mem.ids.tolist())
+    # frequency weighting: id 4 (count 1) should be rarest
+    counts = {i: int((qids_w == i).sum()) for i in set(qids_w)}
+    assert counts.get(4, 0) <= max(counts.values())
+
+
+def test_l2_normalize_handles_zero():
+    x = jnp.zeros((2, 4))
+    out = l2_normalize(x)
+    assert np.isfinite(np.asarray(out)).all()

@@ -1,0 +1,472 @@
+"""Weight-converter parity tests against small PyTorch oracle modules.
+
+The oracles are fresh torch implementations of the *semantics* the released
+checkpoints assume (taming autoencoder blocks, ADM U-Net blocks, CLIP
+residual blocks) — converting their random state dicts into the flax models
+and comparing forward outputs end-to-end validates layout transposes,
+padding alignment, norm-group counts, GEGLU ordering, and MHA qkv packing.
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
+from rdm_tpu.models.clip import CLIP, ClipConfig
+from rdm_tpu.models.unet import UNet, UNetConfig
+from rdm_tpu.utils.torch_convert import (
+    convert_autoencoder,
+    convert_clip,
+    convert_unet,
+)
+
+ATOL = 2e-4
+
+
+def _sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+def _nhwc(x):
+    return jnp.asarray(np.transpose(x.detach().numpy(), (0, 2, 3, 1)))
+
+
+def _assert_close(torch_out_nchw, jax_out_nhwc, atol=ATOL):
+    ref = np.transpose(torch_out_nchw.detach().numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(jax_out_nhwc), ref, atol=atol,
+                               rtol=1e-3)
+
+
+def swish(x):
+    return x * torch.sigmoid(x)
+
+
+# ---------------- taming-style autoencoder oracle ----------------
+
+class TResBlock(tnn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = tnn.GroupNorm(math.gcd(32, cin), cin, eps=1e-6)
+        self.conv1 = tnn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = tnn.GroupNorm(math.gcd(32, cout), cout, eps=1e-6)
+        self.conv2 = tnn.Conv2d(cout, cout, 3, padding=1)
+        if cin != cout:
+            self.nin_shortcut = tnn.Conv2d(cin, cout, 1)
+
+    def forward(self, x):
+        h = self.conv1(swish(self.norm1(x)))
+        h = self.conv2(swish(self.norm2(h)))
+        if hasattr(self, "nin_shortcut"):
+            x = self.nin_shortcut(x)
+        return x + h
+
+
+class TAttnBlock(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.norm = tnn.GroupNorm(math.gcd(32, c), c, eps=1e-6)
+        self.q = tnn.Conv2d(c, c, 1)
+        self.k = tnn.Conv2d(c, c, 1)
+        self.v = tnn.Conv2d(c, c, 1)
+        self.proj_out = tnn.Conv2d(c, c, 1)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        hn = self.norm(x)
+        q = self.q(hn).reshape(b, c, h * w).permute(0, 2, 1)
+        k = self.k(hn).reshape(b, c, h * w)
+        v = self.v(hn).reshape(b, c, h * w)
+        attn = torch.softmax(q @ k * (c ** -0.5), dim=-1)
+        out = (v @ attn.permute(0, 2, 1)).reshape(b, c, h, w)
+        return x + self.proj_out(out)
+
+
+class TDownsample(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = tnn.Conv2d(c, c, 3, stride=2, padding=0)
+
+    def forward(self, x):
+        return self.conv(F.pad(x, (0, 1, 0, 1)))
+
+
+class TUpsample(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = tnn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+class TLevel(tnn.Module):
+    def __init__(self, blocks, attns=None, downsample=None, upsample=None):
+        super().__init__()
+        self.block = tnn.ModuleList(blocks)
+        self.attn = tnn.ModuleList(attns or [])
+        if downsample is not None:
+            self.downsample = downsample
+        if upsample is not None:
+            self.upsample = upsample
+
+
+class TMid(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.block_1 = TResBlock(c, c)
+        self.attn_1 = TAttnBlock(c)
+        self.block_2 = TResBlock(c, c)
+
+    def forward(self, h):
+        return self.block_2(self.attn_1(self.block_1(h)))
+
+
+class TEncoder(tnn.Module):
+    """ch=32, ch_mult=(1,2), 1 res block, attn at bottom resolution."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        ch = cfg.ch
+        self.conv_in = tnn.Conv2d(cfg.in_channels, ch, 3, padding=1)
+        self.down = tnn.ModuleList([
+            TLevel([TResBlock(ch, ch)], downsample=TDownsample(ch)),
+            TLevel([TResBlock(ch, 2 * ch)], [TAttnBlock(2 * ch)]),
+        ])
+        self.mid = TMid(2 * ch)
+        self.norm_out = tnn.GroupNorm(math.gcd(32, 2 * ch), 2 * ch, eps=1e-6)
+        self.conv_out = tnn.Conv2d(2 * ch, cfg.z_channels, 3, padding=1)
+
+    def forward(self, x):
+        h = self.conv_in(x)
+        h = self.down[0].block[0](h)
+        h = self.down[0].downsample(h)
+        h = self.down[1].block[0](h)
+        h = self.down[1].attn[0](h)
+        h = self.mid(h)
+        return self.conv_out(swish(self.norm_out(h)))
+
+
+class TDecoder(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        ch = cfg.ch
+        self.conv_in = tnn.Conv2d(cfg.z_channels, 2 * ch, 3, padding=1)
+        self.mid = TMid(2 * ch)
+        self.up = tnn.ModuleList([
+            TLevel([TResBlock(2 * ch, ch), TResBlock(ch, ch)]),
+            TLevel([TResBlock(2 * ch, 2 * ch), TResBlock(2 * ch, 2 * ch)],
+                   [TAttnBlock(2 * ch), TAttnBlock(2 * ch)],
+                   upsample=TUpsample(2 * ch)),
+        ])
+        self.norm_out = tnn.GroupNorm(math.gcd(32, ch), ch, eps=1e-6)
+        self.conv_out = tnn.Conv2d(ch, cfg.out_ch, 3, padding=1)
+
+    def forward(self, z):
+        h = self.mid(self.conv_in(z))
+        h = self.up[1].attn[0](self.up[1].block[0](h))
+        h = self.up[1].attn[1](self.up[1].block[1](h))
+        h = self.up[1].upsample(h)
+        h = self.up[0].block[0](h)
+        h = self.up[0].block[1](h)
+        return self.conv_out(swish(self.norm_out(h)))
+
+
+class TVQ(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        self.encoder = TEncoder(cfg)
+        self.decoder = TDecoder(cfg)
+        self.quant_conv = tnn.Conv2d(cfg.z_channels, cfg.embed_dim, 1)
+        self.post_quant_conv = tnn.Conv2d(cfg.embed_dim, cfg.z_channels, 1)
+        self.quantize = tnn.Module()
+        self.quantize.embedding = tnn.Embedding(cfg.n_embed, cfg.embed_dim)
+
+    def forward(self, x):
+        h = self.quant_conv(self.encoder(x))
+        flat = h.permute(0, 2, 3, 1).reshape(-1, h.shape[1])
+        cb = self.quantize.embedding.weight
+        d = (flat ** 2).sum(1, keepdim=True) - 2 * flat @ cb.T \
+            + (cb ** 2).sum(1)[None]
+        idx = d.argmin(1)
+        z_q = cb[idx].reshape(h.shape[0], h.shape[2], h.shape[3], -1)
+        z_q = z_q.permute(0, 3, 1, 2)
+        return self.decoder(self.post_quant_conv(z_q)), idx
+
+
+AE_CFG = AutoencoderConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                           attn_resolutions=(8,), resolution=16,
+                           z_channels=4, embed_dim=4, n_embed=16)
+
+
+def test_autoencoder_conversion_end_to_end():
+    torch.manual_seed(0)
+    oracle = TVQ(AE_CFG).eval()
+    with torch.no_grad():
+        x = torch.randn(2, 3, 16, 16)
+        ref, ref_idx = oracle(x)
+    params = convert_autoencoder(_sd(oracle), AE_CFG)
+    model = VQModel(AE_CFG)
+    rec, _, idx = model.apply(params, _nhwc(x))
+    np.testing.assert_array_equal(np.asarray(idx).reshape(-1),
+                                  ref_idx.numpy())
+    _assert_close(ref, rec)
+
+
+# ---------------- ADM U-Net oracle ----------------
+
+class TADMRes(tnn.Module):
+    def __init__(self, cin, cout, emb_dim):
+        super().__init__()
+        self.in_layers = tnn.Sequential(
+            tnn.GroupNorm(math.gcd(32, cin), cin), tnn.SiLU(),
+            tnn.Conv2d(cin, cout, 3, padding=1))
+        self.emb_layers = tnn.Sequential(tnn.SiLU(),
+                                         tnn.Linear(emb_dim, cout))
+        self.out_layers = tnn.Sequential(
+            tnn.GroupNorm(math.gcd(32, cout), cout), tnn.SiLU(),
+            tnn.Identity(), tnn.Conv2d(cout, cout, 3, padding=1))
+        if cin != cout:
+            self.skip_connection = tnn.Conv2d(cin, cout, 1)
+
+    def forward(self, x, emb):
+        h = self.in_layers(x)
+        h = h + self.emb_layers(emb)[:, :, None, None]
+        h = self.out_layers(h)
+        skip = getattr(self, "skip_connection", lambda v: v)
+        return skip(x) + h
+
+
+class TGEGLU(tnn.Module):
+    def __init__(self, dim, inner):
+        super().__init__()
+        self.proj = tnn.Linear(dim, inner * 2)
+
+    def forward(self, x):
+        a, gate = self.proj(x).chunk(2, dim=-1)
+        return a * F.gelu(gate)
+
+
+class TCrossAttn(tnn.Module):
+    def __init__(self, dim, ctx_dim, heads, head_dim):
+        super().__init__()
+        inner = heads * head_dim
+        self.heads, self.head_dim = heads, head_dim
+        self.to_q = tnn.Linear(dim, inner, bias=False)
+        self.to_k = tnn.Linear(ctx_dim, inner, bias=False)
+        self.to_v = tnn.Linear(ctx_dim, inner, bias=False)
+        self.to_out = tnn.ModuleList([tnn.Linear(inner, dim)])
+
+    def forward(self, x, ctx=None):
+        ctx = x if ctx is None else ctx
+        b, s, _ = x.shape
+        sk = ctx.shape[1]
+        h, d = self.heads, self.head_dim
+        q = self.to_q(x).reshape(b, s, h, d).permute(0, 2, 1, 3)
+        k = self.to_k(ctx).reshape(b, sk, h, d).permute(0, 2, 1, 3)
+        v = self.to_v(ctx).reshape(b, sk, h, d).permute(0, 2, 1, 3)
+        attn = torch.softmax(q @ k.transpose(-1, -2) * (d ** -0.5), dim=-1)
+        out = (attn @ v).permute(0, 2, 1, 3).reshape(b, s, h * d)
+        return self.to_out[0](out)
+
+
+class TTransformerBlock(tnn.Module):
+    def __init__(self, dim, ctx_dim, heads, head_dim):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(dim)
+        self.attn1 = TCrossAttn(dim, dim, heads, head_dim)
+        self.norm2 = tnn.LayerNorm(dim)
+        self.attn2 = TCrossAttn(dim, ctx_dim, heads, head_dim)
+        self.norm3 = tnn.LayerNorm(dim)
+        self.ff = tnn.Module()
+        self.ff.net = tnn.Sequential(TGEGLU(dim, dim * 4), tnn.Identity(),
+                                     tnn.Linear(dim * 4, dim))
+
+    def forward(self, x, ctx):
+        x = x + self.attn1(self.norm1(x))
+        x = x + self.attn2(self.norm2(x), ctx)
+        x = x + self.ff.net(self.norm3(x))
+        return x
+
+
+class TSpatial(tnn.Module):
+    def __init__(self, c, ctx_dim, heads, head_dim, depth=1):
+        super().__init__()
+        inner = heads * head_dim
+        self.norm = tnn.GroupNorm(math.gcd(32, c), c, eps=1e-6)
+        self.proj_in = tnn.Conv2d(c, inner, 1)
+        self.transformer_blocks = tnn.ModuleList(
+            [TTransformerBlock(inner, ctx_dim, heads, head_dim)
+             for _ in range(depth)])
+        self.proj_out = tnn.Conv2d(inner, c, 1)
+
+    def forward(self, x, ctx):
+        b, c, h, w = x.shape
+        x_in = x
+        x = self.proj_in(self.norm(x))
+        x = x.reshape(b, -1, h * w).permute(0, 2, 1)
+        for blk in self.transformer_blocks:
+            x = blk(x, ctx)
+        x = x.permute(0, 2, 1).reshape(b, -1, h, w)
+        return x_in + self.proj_out(x)
+
+
+class TOp(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.op = tnn.Conv2d(c, c, 3, stride=2, padding=1)
+
+    def forward(self, x):
+        return self.op(x)
+
+
+class TUp(tnn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.conv = tnn.Conv2d(c, c, 3, padding=1)
+
+    def forward(self, x):
+        return self.conv(F.interpolate(x, scale_factor=2.0, mode="nearest"))
+
+
+def t_timestep_embedding(t, dim):
+    half = dim // 2
+    freqs = torch.exp(-math.log(10000.0) * torch.arange(half) / half)
+    args = t[:, None].float() * freqs[None]
+    return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+
+class TUNet(tnn.Module):
+    """Tiny ADM U-Net: ch 32, mult (1,2), 1 res block, attn at ds (1,2)."""
+
+    def __init__(self, cfg: UNetConfig):
+        super().__init__()
+        ch = cfg.model_channels
+        emb = 4 * ch
+        ctx = cfg.context_dim
+        heads = lambda c: (c // cfg.num_head_channels, cfg.num_head_channels)
+
+        self.time_embed = tnn.Sequential(
+            tnn.Linear(ch, emb), tnn.SiLU(), tnn.Linear(emb, emb))
+        sp = lambda c: TSpatial(c, ctx, *heads(c))
+        self.input_blocks = tnn.ModuleList([
+            tnn.ModuleList([tnn.Conv2d(cfg.in_channels, ch, 3, padding=1)]),
+            tnn.ModuleList([TADMRes(ch, ch, emb), sp(ch)]),
+            tnn.ModuleList([TOp(ch)]),
+            tnn.ModuleList([TADMRes(ch, 2 * ch, emb), sp(2 * ch)]),
+        ])
+        self.middle_block = tnn.ModuleList(
+            [TADMRes(2 * ch, 2 * ch, emb), sp(2 * ch),
+             TADMRes(2 * ch, 2 * ch, emb)])
+        self.output_blocks = tnn.ModuleList([
+            tnn.ModuleList([TADMRes(4 * ch, 2 * ch, emb), sp(2 * ch)]),
+            tnn.ModuleList([TADMRes(3 * ch, 2 * ch, emb), sp(2 * ch),
+                            TUp(2 * ch)]),
+            tnn.ModuleList([TADMRes(3 * ch, ch, emb), sp(ch)]),
+            tnn.ModuleList([TADMRes(2 * ch, ch, emb), sp(ch)]),
+        ])
+        self.out = tnn.Sequential(
+            tnn.GroupNorm(math.gcd(32, ch), ch), tnn.SiLU(),
+            tnn.Conv2d(ch, cfg.out_channels, 3, padding=1))
+        self.model_channels = ch
+
+    def forward(self, x, t, ctx):
+        emb = self.time_embed(t_timestep_embedding(t, self.model_channels))
+        hs = []
+        h = x
+        for blocks in self.input_blocks:
+            for b in blocks:
+                if isinstance(b, TADMRes):
+                    h = b(h, emb)
+                elif isinstance(b, TSpatial):
+                    h = b(h, ctx)
+                else:
+                    h = b(h)
+            hs.append(h)
+        for b in self.middle_block:
+            h = b(h, emb) if isinstance(b, TADMRes) else b(h, ctx)
+        for blocks in self.output_blocks:
+            h = torch.cat([h, hs.pop()], dim=1)
+            for b in blocks:
+                if isinstance(b, TADMRes):
+                    h = b(h, emb)
+                elif isinstance(b, TSpatial):
+                    h = b(h, ctx)
+                else:
+                    h = b(h)
+        return self.out(h)
+
+
+UNET_CFG = UNetConfig(
+    in_channels=3, out_channels=3, model_channels=32, num_res_blocks=1,
+    attention_resolutions=(1, 2), channel_mult=(1, 2),
+    num_head_channels=16, transformer_depth=1, context_dim=24)
+
+
+def test_unet_conversion_end_to_end():
+    torch.manual_seed(1)
+    oracle = TUNet(UNET_CFG).eval()
+    with torch.no_grad():
+        x = torch.randn(2, 3, 8, 8)
+        t = torch.tensor([3, 40])
+        ctx = torch.randn(2, 5, 24)
+        ref = oracle(x, t, ctx)
+    params = convert_unet(_sd(oracle), UNET_CFG, prefix="")
+    model = UNet(UNET_CFG)
+    out = model.apply(params, _nhwc(x), jnp.asarray(t.numpy()),
+                      jnp.asarray(ctx.numpy()))
+    _assert_close(ref, out, atol=5e-4)
+
+
+# ---------------- CLIP block oracle ----------------
+
+class TClipBlock(tnn.Module):
+    def __init__(self, d, heads):
+        super().__init__()
+        self.attn = tnn.MultiheadAttention(d, heads, batch_first=True)
+        self.ln_1 = tnn.LayerNorm(d)
+        self.mlp = tnn.Module()
+        self.mlp.c_fc = tnn.Linear(d, d * 4)
+        self.mlp.c_proj = tnn.Linear(d * 4, d)
+        self.ln_2 = tnn.LayerNorm(d)
+
+    def forward(self, x, causal=False):
+        h = self.ln_1(x)
+        mask = None
+        if causal:
+            s = x.shape[1]
+            mask = torch.full((s, s), float("-inf")).triu(1)
+        a, _ = self.attn(h, h, h, attn_mask=mask, need_weights=False)
+        x = x + a
+        h = self.ln_2(x)
+        h = self.mlp.c_proj(self.mlp.c_fc(h) * torch.sigmoid(
+            1.702 * self.mlp.c_fc(h)))
+        return x + h
+
+
+def test_clip_block_mha_packing():
+    from rdm_tpu.models.clip import ResidualAttentionBlock
+    from rdm_tpu.utils.torch_convert import _Mapper, _convert_clip_block
+
+    torch.manual_seed(2)
+    d, heads = 32, 2
+    oracle = TClipBlock(d, heads).eval()
+    sd = {f"blk.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    m = _Mapper(sd)
+    _convert_clip_block(m, "blk", "blk")
+    params = {"params": m.tree["blk"]}
+    x = torch.randn(2, 7, d)
+    with torch.no_grad():
+        ref = oracle(x, causal=True)
+    model = ResidualAttentionBlock(heads=heads, causal=True)
+    out = model.apply(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4,
+                               rtol=1e-3)

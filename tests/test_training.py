@@ -1,0 +1,94 @@
+"""Training subsystem tests: EMA schedule, LR schedule, single-device and
+data-parallel (8-device CPU mesh) train steps, loss descent.
+
+Parity targets: LitEma decay warmup, ldm LambdaLinearScheduler, and the
+DDP-equivalent data-parallel semantics of /root/reference/main.py:784-785.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rdm_tpu.models.rdm import RDM, RDMConfig
+from rdm_tpu.models.unet import UNetConfig
+from rdm_tpu.ops.schedules import DiffusionSchedule
+from rdm_tpu.parallel.mesh import make_mesh
+from rdm_tpu.training.ema import ema_init, ema_update
+from rdm_tpu.training.optim import lambda_linear_schedule, make_optimizer
+from rdm_tpu.training.train_state import init_train_state, make_train_step
+
+
+def tiny_rdm():
+    unet = UNetConfig(
+        in_channels=2, out_channels=2, model_channels=8, num_res_blocks=1,
+        attention_resolutions=(1,), channel_mult=(1,),
+        num_head_channels=4, context_dim=8)
+    return RDMConfig(unet=unet, image_size=4, channels=2, timesteps=20,
+                     context_dim=8, k_nn=2)
+
+
+def _setup(mesh=None):
+    cfg = tiny_rdm()
+    model = RDM(cfg)
+    x = jnp.zeros((2, 4, 4, 2))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray([0, 1]),
+                        jnp.zeros((2, 2, 8)))
+    schedule = DiffusionSchedule.create(cfg.timesteps, "linear", 0.0015,
+                                        0.0195)
+    tx = make_optimizer(1e-3, warm_up_steps=2)
+    state = init_train_state(params, tx)
+    step = make_train_step(model, tx, schedule, mesh=mesh, remat=True)
+    return model, state, step
+
+
+def test_ema_warmup_and_convergence():
+    params = {"w": jnp.zeros((3,))}
+    st = ema_init(params)
+    st = ema_update(st, {"w": jnp.ones((3,))}, decay=0.9999)
+    # first update: d = min(0.9999, 2/11) => shadow moves most of the way
+    np.testing.assert_allclose(np.asarray(st.params["w"]),
+                               1.0 - 2.0 / 11.0, rtol=1e-5)
+    for _ in range(200):
+        st = ema_update(st, {"w": jnp.ones((3,))}, decay=0.99)
+    np.testing.assert_allclose(np.asarray(st.params["w"]), 1.0, atol=0.05)
+
+
+def test_lambda_linear_schedule():
+    sched = lambda_linear_schedule(2.0, warm_up_steps=10, f_start=0.0)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(5)), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(sched(10)), 2.0, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(100000)), 2.0, rtol=1e-3)
+
+
+def test_train_step_descends():
+    model, state, step = _setup()
+    rng = jax.random.PRNGKey(0)
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 4, 4, 2))
+    nns = jax.random.normal(jax.random.PRNGKey(2), (4, 1, 2, 8))
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, z, nns, rng)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 5
+    assert all(np.isfinite(losses))
+    assert float(metrics["grad_norm"]) > 0.0
+
+
+def test_train_step_data_parallel_matches_single():
+    """DP over the 8-device CPU mesh must produce the same update as a
+    single-device step on the same global batch (all-reduce correctness)."""
+    mesh = make_mesh(data=8, db=1)
+    model, state_a, step_dp = _setup(mesh=mesh)
+    _, state_b, step_1d = _setup(mesh=None)
+    rng = jax.random.PRNGKey(3)
+    z = jax.random.normal(jax.random.PRNGKey(4), (8, 4, 4, 2))
+    nns = jax.random.normal(jax.random.PRNGKey(5), (8, 1, 2, 8))
+    sa, ma = step_dp(state_a, z, nns, rng)
+    sb, mb = step_1d(state_b, z, nns, rng)
+    np.testing.assert_allclose(float(ma["loss"]), float(mb["loss"]),
+                               rtol=1e-5)
+    pa = jax.tree.leaves(sa.params)
+    pb = jax.tree.leaves(sb.params)
+    for a, b in zip(pa, pb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
