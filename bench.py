@@ -17,11 +17,19 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: repeated bench runs skip the ~minutes-long
+# first compile of the 395M-param U-Net pipeline
+_cache = os.environ.get("JAX_COMPILE_CACHE_DIR", "/tmp/rdm_tpu_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 BATCH = 8

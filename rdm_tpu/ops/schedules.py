@@ -115,12 +115,15 @@ class DiffusionSchedule:
         posterior_mean_coef2 = (
             (1.0 - alphas_cumprod_prev) * np.sqrt(alphas) / (1.0 - alphas_cumprod)
         )
-        lvlb_weights = betas**2 / (
-            2
-            * posterior_variance
-            * alphas
-            * (1 - alphas_cumprod)
-        )
+        # posterior_variance[0] == 0; row 0 is overwritten below, so guard
+        # the division instead of warning
+        with np.errstate(divide="ignore"):
+            lvlb_weights = betas**2 / (
+                2
+                * posterior_variance
+                * alphas
+                * (1 - alphas_cumprod)
+            )
         lvlb_weights[0] = lvlb_weights[1]
 
         f32 = lambda x: jnp.asarray(x, dtype=jnp.float32)

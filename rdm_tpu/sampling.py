@@ -114,3 +114,49 @@ def ddim_sample(
     if config.log_every_t:
         interm = interm[:: config.log_every_t]
     return x, interm
+
+
+def ddpm_sample(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    shape: Tuple[int, ...],
+    context: Optional[jnp.ndarray],
+    rng: jax.Array,
+    *,
+    clip_denoised: bool = True,
+    x_init: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Full-length ancestral DDPM sampling (the ldm `p_sample_loop` the
+    reference inherits; used by log_images when ddim=False). One lax.scan
+    over all T steps; posterior mean/variance from the schedule tables."""
+    from rdm_tpu.ops.schedules import predict_start_from_noise
+
+    rng, init_rng = jax.random.split(rng)
+    x = (x_init if x_init is not None
+         else jax.random.normal(init_rng, shape, dtype=jnp.float32))
+    T = schedule.num_timesteps
+
+    def body(carry, step):
+        x, rng = carry
+        t_scalar = T - 1 - step
+        t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
+        eps = denoise_fn(x, t, context).astype(jnp.float32)
+        x0 = predict_start_from_noise(schedule, x, t, eps)
+        if clip_denoised:
+            x0 = jnp.clip(x0, -1.0, 1.0)
+        shape1 = (-1,) + (1,) * (x.ndim - 1)
+        mean = (jnp.take(schedule.posterior_mean_coef1, t).reshape(shape1)
+                * x0
+                + jnp.take(schedule.posterior_mean_coef2, t).reshape(shape1)
+                * x)
+        logvar = jnp.take(schedule.posterior_log_variance_clipped,
+                          t).reshape(shape1)
+        rng, nrng = jax.random.split(rng)
+        noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
+        nonzero = (t_scalar > 0).astype(jnp.float32)
+        x = mean + nonzero * jnp.exp(0.5 * logvar) * noise
+        return (x, rng), None
+
+    (x, _), _ = jax.lax.scan(body, (x, rng),
+                             jnp.arange(T, dtype=jnp.int32))
+    return x

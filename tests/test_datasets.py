@@ -1,0 +1,100 @@
+"""Dataset family tests: ImageNet synset/class machinery, label-range
+subsets, CLIP embedding join; OpenImages corrupt filtering + bbox
+annotations; FFHQ wrapper."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rdm_tpu.data.base import PatcherDataset
+from rdm_tpu.data.faces import FFHQTrainRDM
+from rdm_tpu.data.imagenet import ImageNetTrain
+from rdm_tpu.data.openimages import (
+    FullOpenImagesTrain,
+    OpenImagesBBoxTrain,
+)
+
+
+def _write_img(path, seed=0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    arr = np.random.default_rng(seed).integers(0, 255, (48, 48, 3),
+                                               dtype=np.uint8)
+    Image.fromarray(arr).save(path)
+
+
+@pytest.fixture
+def imagenet_root(tmp_path):
+    root = tmp_path / "in"
+    rels = []
+    for ci, syn in enumerate(["n01440764", "n01443537", "n01484850"]):
+        for j in range(2):
+            rel = f"{syn}/{syn}_{j}.png"
+            _write_img(str(root / rel), seed=ci * 10 + j)
+            rels.append(rel)
+    (root / "train_filelist.txt").write_text("\n".join(rels))
+    (root / "synset_human.txt").write_text(
+        "n01440764 tench\nn01443537 goldfish\n")
+    emb = np.arange(6 * 4, dtype=np.float32).reshape(6, 4)
+    np.savez(root / "clip_embeddings_train.npz", embedding=emb)
+    return str(root)
+
+
+def test_imagenet_labels_and_embeddings(imagenet_root):
+    ds = ImageNetTrain(imagenet_root, size=32, load_clip_embeddings=True)
+    assert len(ds) == 6
+    s = ds[0]
+    assert s["class_label"] == 0 and s["human_label"] == "tench"
+    assert s["synset"] == "n01440764"
+    np.testing.assert_array_equal(s["clip_img_emb"], [0, 1, 2, 3])
+    # unknown synset falls back to itself
+    assert ds[5]["human_label"] == "n01484850"
+
+
+def test_imagenet_sub_indices_and_label_range(imagenet_root):
+    ds = ImageNetTrain(imagenet_root, size=32, sub_indices=[1, 2])
+    assert len(ds) == 4
+    assert all(ds[i]["class_label"] in (1, 2) for i in range(4))
+    full = ImageNetTrain(imagenet_root, size=32)
+    idx = full.get_subset_by_label_range((1, 1))
+    assert len(idx) == 2
+
+
+def test_openimages_corrupt_filter_and_bbox(tmp_path):
+    root = tmp_path / "oi"
+    rels = [f"imgs/{i}.png" for i in range(4)]
+    for i, r in enumerate(rels):
+        _write_img(str(root / r), seed=i)
+    (root / "train_filelist.txt").write_text("\n".join(rels))
+    (root / "corrupts.txt").write_text("imgs/2.png\n")
+    ds = FullOpenImagesTrain(str(root), size=32)
+    assert len(ds) == 3
+    assert all("2.png" not in ds[i]["file_path_"] for i in range(3))
+
+    (root / "boxes_train.csv").write_text(
+        "ImageID,XMin,XMax,YMin,YMax,LabelName\n"
+        "0,0.1,0.9,0.1,0.9,/m/dog\n0,0.0,0.5,0.0,0.5,/m/cat\n")
+    bds = OpenImagesBBoxTrain(str(root), size=48)
+    s = bds[0]
+    assert len(s["annotations"]) == 2
+    assert s["annotations"][0]["label"] == "/m/dog"
+    # feeds annotation-mode patch sampling
+    patcher = PatcherDataset(bds, patch_size=16,
+                             sampling_method="annotation")
+    out = patcher[0]
+    assert out["patch"].shape[0] == 2
+    # image without annotations -> centered fallback patch
+    out1 = patcher[1]
+    assert out1["patch"].shape == (1, 16, 16, 3)
+
+
+def test_ffhq_wrapper(tmp_path):
+    root = tmp_path / "ffhq"
+    rels = [f"images/{i}.png" for i in range(3)]
+    for i, r in enumerate(rels):
+        _write_img(str(root / r), seed=i)
+    (root / "train_filelist.txt").write_text("\n".join(rels))
+    ds = FFHQTrainRDM(str(root), size=32)
+    assert len(ds) == 3
+    assert ds[1]["image"].shape == (32, 32, 3)

@@ -1,0 +1,66 @@
+"""Tar-shard reader tests: brace expansion, sample grouping/decoding,
+batched loading (parity: /root/reference/rdm/data/base.py:516-705)."""
+
+import io
+import json
+import tarfile
+
+import numpy as np
+from PIL import Image
+
+from rdm_tpu.data.webdataset import WebDataset, expand_shards, \
+    iter_tar_samples
+
+
+def _make_shard(path, start, n):
+    with tarfile.open(path, "w") as tf:
+        for i in range(start, start + n):
+            img = Image.fromarray(
+                np.full((8, 8, 3), i * 10, dtype=np.uint8))
+            buf = io.BytesIO()
+            img.save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"{i:05d}.png")
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+            meta = json.dumps({"id": i}).encode()
+            info = tarfile.TarInfo(f"{i:05d}.json")
+            info.size = len(meta)
+            tf.addfile(info, io.BytesIO(meta))
+
+
+def test_expand_shards():
+    out = expand_shards("x/{00003..00005}.tar")
+    assert out == ["x/00003.tar", "x/00004.tar", "x/00005.tar"]
+    assert expand_shards("plain.tar") == ["plain.tar"]
+
+
+def test_iter_tar_samples_groups_and_decodes(tmp_path):
+    shard = str(tmp_path / "s.tar")
+    _make_shard(shard, 0, 3)
+    samples = list(iter_tar_samples(shard))
+    assert len(samples) == 3
+    s = samples[1]
+    assert s["__key__"] == "00001"
+    assert s["png"].shape == (8, 8, 3)
+    np.testing.assert_allclose(s["png"][0, 0, 0], 10 / 127.5 - 1.0,
+                               atol=1e-3)
+    assert s["json"] == {"id": 1}
+
+
+def test_webdataset_loader_and_transforms(tmp_path):
+    for i in range(2):
+        _make_shard(str(tmp_path / f"{i:05d}.tar"), i * 4, 4)
+    ds = WebDataset(str(tmp_path / "{00000..00001}.tar"),
+                    rename={"png": "image"},
+                    transforms={"image": lambda x: x * 0 + 1.0},
+                    split_by_host=False)
+    batches = list(ds.loader(batch_size=4, repeat=False))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (4, 8, 8, 3)
+    np.testing.assert_allclose(batches[0]["image"], 1.0)
+    # infinite repeat keeps yielding
+    it = ds.loader(batch_size=4, repeat=True)
+    for _ in range(5):
+        b = next(it)
+    assert b["image"].shape[0] == 4
