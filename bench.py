@@ -41,6 +41,26 @@ A100_BF16_PEAK = 312e12
 A100_MFU_EST = 0.40
 
 
+def synth_params(shapes, seed: int = 0):
+    """Host-side random param synthesis from an eval_shape tree.
+
+    jit(model.init) of the 395M-param U-Net builds an enormous RNG graph
+    that takes minutes to compile; throughput benching only needs params
+    with realistic magnitudes, so fill leaves on the host instead.
+    """
+    rng = np.random.default_rng(seed)
+    leaves, treedef = jax.tree.flatten(shapes)
+    out = []
+    for leaf in leaves:
+        if leaf.ndim >= 2:
+            arr = rng.standard_normal(leaf.shape).astype(
+                np.float32) * 0.02
+        else:
+            arr = np.zeros(leaf.shape, dtype=np.float32)
+        out.append(jnp.asarray(arr, dtype=leaf.dtype))
+    return jax.tree.unflatten(treedef, out)
+
+
 def main():
     from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
     from rdm_tpu.models.rdm import RDM, RDMConfig, sample_with_neighbors
@@ -56,14 +76,20 @@ def main():
     x0 = jnp.zeros((BATCH, cfg.image_size, cfg.image_size, cfg.channels))
     t0 = jnp.zeros((BATCH,), dtype=jnp.int32)
     c0 = jnp.zeros((BATCH, K_NN, cfg.context_dim))
-    params = jax.jit(model.init)(rng, x0, t0, c0)
+    print("synthesizing params...", flush=True)
+    params = synth_params(
+        jax.eval_shape(model.init, rng, x0, t0, c0), seed=0)
+    print("unet params ready", flush=True)
 
     vq_cfg = AutoencoderConfig.vq_f4()
     vq = VQModel(vq_cfg, dtype=jnp.bfloat16)
     z0 = jnp.zeros((BATCH, 64, 64, 3))
-    vq_params = jax.jit(
-        lambda r: vq.init(r, z0, force_not_quantize=False,
-                          method=VQModel.decode))(jax.random.PRNGKey(1))
+    vq_params = synth_params(
+        jax.eval_shape(
+            lambda r: vq.init(r, z0, force_not_quantize=False,
+                              method=VQModel.decode),
+            jax.random.PRNGKey(1)),
+        seed=1)
 
     schedule = DiffusionSchedule.create(
         cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
@@ -92,8 +118,11 @@ def main():
     q = jnp.asarray(emb[:BATCH])
 
     # warmup + compile
+    import time as _t; _c0 = _t.perf_counter()
+    print("compiling pipeline...", flush=True)
     img = pipeline(params, vq_params, q, jax.random.PRNGKey(2))
     jax.block_until_ready(img)
+    print(f"compile+warmup done in {_t.perf_counter()-_c0:.1f}s", flush=True)
 
     runs = 3
     start = time.perf_counter()

@@ -1,0 +1,109 @@
+"""Visual training diagnostics — the reference `log_images` surface.
+
+Produces the image grids the reference emits every N steps
+(/root/reference/rdm/models/diffusion/ddpm.py:460-638 via ImageLogger,
+main.py:541-656): inputs, first-stage reconstructions, the forward
+diffusion row (q_sample at increasing t), the denoise row (pred_x0 along
+the DDIM trajectory), and conditioned samples (EMA weights).
+
+All outputs are uint8 HWC grids ready for PNG/TB writers.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdm_tpu.models.autoencoder import VQModel
+from rdm_tpu.models.rdm import RDM, flatten_neighbors, sample_with_neighbors
+from rdm_tpu.ops.schedules import DiffusionSchedule, q_sample
+from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+
+def to_uint8(images) -> np.ndarray:
+    x = np.clip((np.asarray(images, dtype=np.float32) + 1.0) / 2.0, 0, 1)
+    return (x * 255).astype(np.uint8)
+
+
+def make_grid(images: np.ndarray, n_per_row: int = 4) -> np.ndarray:
+    """[N, H, W, C] uint8 → one [rows*H, cols*W, C] grid."""
+    n, h, w, c = images.shape
+    cols = min(n_per_row, n)
+    rows = (n + cols - 1) // cols
+    grid = np.zeros((rows * h, cols * w, c), dtype=images.dtype)
+    for i, img in enumerate(images):
+        r, col = divmod(i, cols)
+        grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
+    return grid
+
+
+def log_images(
+    model: RDM,
+    params,
+    first_stage: VQModel,
+    first_stage_params,
+    schedule: DiffusionSchedule,
+    batch: Dict[str, Any],
+    rng: jax.Array,
+    *,
+    n_row: int = 4,
+    max_images: int = 4,
+    ddim_steps: int = 50,
+    guidance_scale: float = 1.0,
+    diffusion_row_steps: int = 6,
+    with_denoise_row: bool = True,
+) -> Dict[str, np.ndarray]:
+    """batch: {'image' [B,H,W,3] in [-1,1], 'nn_embeddings' [B,n,k,D]}.
+    Returns named uint8 grids."""
+    cfg = model.config
+    images = jnp.asarray(batch["image"][:max_images], dtype=jnp.float32)
+    nns = jnp.asarray(batch["nn_embeddings"][:max_images],
+                      dtype=jnp.float32)
+    out: Dict[str, np.ndarray] = {}
+    out["inputs"] = make_grid(to_uint8(images), n_row)
+
+    # first-stage reconstruction
+    z = first_stage.apply(first_stage_params, images,
+                          method=VQModel.encode_prequant) * cfg.scale_factor
+    decode = lambda lat: first_stage.apply(
+        first_stage_params, lat / cfg.scale_factor,
+        force_not_quantize=False, method=VQModel.decode)
+    out["reconstruction"] = make_grid(to_uint8(decode(z)), n_row)
+
+    # forward diffusion row: one input image noised at increasing t
+    ts = np.linspace(0, cfg.timesteps - 1, diffusion_row_steps).astype(
+        np.int32)
+    noised = []
+    for t in ts:
+        rng, sub = jax.random.split(rng)
+        noise = jax.random.normal(sub, z[:1].shape, dtype=jnp.float32)
+        zt = q_sample(schedule, z[:1], jnp.asarray([t]), noise)
+        noised.append(to_uint8(decode(zt))[0])
+    out["diffusion_row"] = make_grid(np.stack(noised),
+                                     diffusion_row_steps)
+
+    # conditioned samples (+ optional denoise row of pred_x0)
+    context = flatten_neighbors(nns)
+    sampler = DDIMSamplerConfig(
+        num_steps=ddim_steps, guidance_scale=guidance_scale,
+        log_every_t=max(ddim_steps // diffusion_row_steps, 1)
+        if with_denoise_row else 0)
+    uncond = None
+    if guidance_scale != 1.0:
+        uncond = model.apply(params, context.shape[0], context.shape[1],
+                             0.0, method=RDM.uncond_context)
+    rng, sub = jax.random.split(rng)
+    z_samp, interm = ddim_sample(
+        lambda x, t, c: model.apply(params, x, t, c),
+        schedule, sampler,
+        (context.shape[0], cfg.image_size, cfg.image_size, cfg.channels),
+        context, sub, uncond_context=uncond)
+    out["samples"] = make_grid(to_uint8(decode(z_samp)), n_row)
+    if with_denoise_row and interm is not None:
+        row = [to_uint8(decode(interm[i][:1]))[0]
+               for i in range(interm.shape[0])]
+        out["denoise_row"] = make_grid(np.stack(row), len(row))
+    return out

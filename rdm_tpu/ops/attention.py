@@ -69,9 +69,11 @@ def _pick_impl(q, k, causal, mask) -> str:
     if not on_tpu or mask is not None:
         return "xla"
     # Flash kernel pays off once the score matrix is big; tiny contexts
-    # (retrieval cross-attn) are faster through plain XLA fusion.
+    # (retrieval cross-attn) are faster through plain XLA fusion. head_dim
+    # down to 32 is fine — Mosaic pads the lane dimension.
     sq, sk, d = q.shape[1], k.shape[1], q.shape[3]
-    if sq >= 256 and sk >= 256 and sq % 128 == 0 and sk % 128 == 0 and d % 128 == 0:
+    if (sq >= 256 and sk >= 256 and sq % 128 == 0 and sk % 128 == 0
+            and d % 32 == 0 and d <= 128):
         return "pallas"
     return "xla"
 

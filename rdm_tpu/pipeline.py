@@ -217,6 +217,61 @@ class RDMPipeline:
         q = self.embed_caption(caption, batch_size)
         return self.sample_with_query(q, **kw)
 
+    def sample_retro_adaptive(
+            self, batch_size: int, *, k_nn: Optional[int] = None,
+            steps: int = 100, guidance_scale: float = 2.0,
+            retro_every: int = 10, memsize=0.01,
+            use_weights: bool = False, seed: int = 0) -> Dict[str, Any]:
+        """Iterative re-retrieval sampling (DDIMRetroSampler equivalent,
+        reference ddim.py:270-415): every `retro_every` DDIM steps the
+        current pred_x0 is decoded, CLIP-embedded, and fresh neighbors are
+        gathered — all inside one compiled program. Requires CLIP weights
+        and a database."""
+        from rdm_tpu.models.clip import CLIP, preprocess
+        from rdm_tpu.retrieval.engine import knn_search, l2_normalize
+        from rdm_tpu.sampling import ddim_retro_sample
+
+        if self.retrieval is None:
+            raise ValueError("retro sampling requires a database")
+        if self.clip is None:
+            raise ValueError("retro sampling requires CLIP weights")
+        k_nn = k_nn or self.config.k_nn
+        cfg = self.config
+        rng_np = np.random.default_rng(seed)
+        q_emb = self.retrieval.sample_query_embeddings(
+            batch_size, memsize, use_weights, rng_np)
+        found = self.retrieval.engine.search(jnp.asarray(q_emb), k=k_nn)
+        init_ctx = jnp.asarray(found["embeddings"], dtype=jnp.float32)
+        db_norm = self.retrieval.engine.db_norm
+        clip_params = self.clip_params
+        fs_params = self.first_stage_params
+
+        def reembed(pred_x0):
+            img = self.first_stage.apply(
+                fs_params, pred_x0 / cfg.scale_factor,
+                force_not_quantize=False, method=VQModel.decode)
+            emb = self.clip.apply(
+                clip_params, preprocess(img), method=CLIP.encode_image)
+            _, nns = knn_search(db_norm, l2_normalize(emb), k_nn)
+            return jnp.take(db_norm, nns, axis=0).astype(jnp.float32)
+
+        sampler = DDIMSamplerConfig(num_steps=steps,
+                                    guidance_scale=guidance_scale)
+        uncond = None
+        if guidance_scale != 1.0:
+            uncond = self.model.apply(
+                self.params, batch_size, k_nn, 0.0,
+                method=RDM.uncond_context)
+        z = ddim_retro_sample(
+            lambda x, t, c: self.model.apply(self.params, x, t, c),
+            self.schedule, sampler,
+            (batch_size, cfg.image_size, cfg.image_size, cfg.channels),
+            init_ctx, jax.random.PRNGKey(seed),
+            reembed_fn=reembed, retro_every=retro_every,
+            uncond_context=uncond)
+        images = self._decode(self.first_stage_params, z / cfg.scale_factor)
+        return {"retro_adaptive_samples": to_uint8(images)}
+
     def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
                   guidance_scale: float, seed: int) -> np.ndarray:
         sampler = DDIMSamplerConfig(num_steps=steps,

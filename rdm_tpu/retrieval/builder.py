@@ -123,11 +123,17 @@ class DatasetBuilder:
 
     # ---------- index / query ----------
 
-    def train_searcher(self, dtype=jnp.bfloat16) -> RetrievalEngine:
-        """Upload the normalized table; the 'searcher' is the device."""
+    def train_searcher(self, dtype=jnp.bfloat16, backend: str = "device"):
+        """Bind the searcher. backend "device": normalized table in HBM,
+        matmul top-k (default). backend "host": the native C++ searcher
+        (rdm_tpu.retrieval.host_knn) for CPU-only hosts."""
         assert self.pool is not None, "build or load the pool first"
-        self.engine = RetrievalEngine(self.pool, mesh=self.mesh,
-                                      dtype=dtype)
+        if backend == "host":
+            from rdm_tpu.retrieval.host_knn import HostRetrievalEngine
+            self.engine = HostRetrievalEngine(self.pool)
+        else:
+            self.engine = RetrievalEngine(self.pool, mesh=self.mesh,
+                                          dtype=dtype)
         return self.engine
 
     def search_k_nearest(self, query_embeddings: np.ndarray,
@@ -136,7 +142,8 @@ class DatasetBuilder:
             self.train_searcher()
         k = k or self.k
         t0 = time.time()
-        out = self.engine.search(jnp.asarray(query_embeddings), k=k)
+        out = self.engine.search(np.asarray(query_embeddings,
+                                            dtype=np.float32), k=k)
         out["exec_time"] = time.time() - t0
         out["nns"] = np.asarray(out["nns"])
         return out

@@ -116,6 +116,64 @@ def ddim_sample(
     return x, interm
 
 
+def ddim_retro_sample(
+    denoise_fn: DenoiseFn,
+    schedule: DiffusionSchedule,
+    config: DDIMSamplerConfig,
+    shape: Tuple[int, ...],
+    init_context: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    reembed_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    retro_every: int = 10,
+    uncond_context: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """DDIM with iterative re-retrieval — the reference's experimental
+    DDIMRetroSampler (/root/reference/rdm/models/diffusion/ddim.py:270-415)
+    re-designed to run entirely on device: every `retro_every` steps the
+    current pred_x0 is re-embedded and new neighbors retrieved
+    (`reembed_fn`: latents [B,H,W,C] → context [B,S,D], typically
+    first-stage decode → CLIP image tower → kNN gather from the HBM table),
+    inside the same compiled lax.scan — no host round-trips.
+    """
+    ddim = DDIMSchedule.create(
+        schedule, config.num_steps, eta=config.eta, method=config.method)
+    use_cfg = config.guidance_scale != 1.0
+    if use_cfg and uncond_context is None:
+        raise ValueError("guidance_scale != 1 requires uncond_context")
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+    steps = ddim.num_steps
+
+    def eps_model(x, t, ctx):
+        if not use_cfg:
+            return denoise_fn(x, t, ctx)
+        eps2 = denoise_fn(jnp.concatenate([x, x], 0),
+                          jnp.concatenate([t, t], 0),
+                          jnp.concatenate([ctx, uncond_context], 0))
+        eps_c, eps_u = jnp.split(eps2, 2, axis=0)
+        return eps_u + config.guidance_scale * (eps_c - eps_u)
+
+    def body(carry, step):
+        x, ctx, rng = carry
+        index = steps - 1 - step
+        t = jnp.full((shape[0],), ddim.timesteps[index], dtype=jnp.int32)
+        eps = eps_model(x, t, ctx)
+        rng, nrng = jax.random.split(rng)
+        noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
+        x_prev, pred_x0 = ddim_step(ddim, x, eps, index, noise,
+                                    temperature=config.temperature)
+        ctx = jax.lax.cond(
+            jnp.logical_and(step % retro_every == 0, step > 0),
+            lambda: reembed_fn(pred_x0).astype(ctx.dtype),
+            lambda: ctx)
+        return (x_prev, ctx, rng), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, init_context, rng), jnp.arange(steps, dtype=jnp.int32))
+    return x
+
+
 def ddpm_sample(
     denoise_fn: DenoiseFn,
     schedule: DiffusionSchedule,

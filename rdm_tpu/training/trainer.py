@@ -162,7 +162,7 @@ class RDMTrainer:
                         self._save(state, metrics)
                     if (self.tcfg.image_log_every
                             and step % self.tcfg.image_log_every == 0):
-                        self._log_images(state, nns, step)
+                        self._log_images(state, batch, step)
         except BaseException:
             print("exception — saving checkpoint before exit")
             self._save(state, {}, wait=True)
@@ -190,22 +190,19 @@ class RDMTrainer:
         if wait:
             self.ckpt.wait()
 
-    def _log_images(self, state: TrainState, nns, step: int,
-                    max_images: int = 4) -> None:
-        """EMA-weighted samples conditioned on the batch's neighbors
-        (ImageLogger/log_images equivalent)."""
+    def _log_images(self, state: TrainState, batch, step: int) -> None:
+        """Full diagnostics grids with EMA weights (ImageLogger/log_images
+        equivalent, reference main.py:541-656 + ddpm.py:460-638)."""
         from PIL import Image
 
-        from rdm_tpu.pipeline import to_uint8
+        from rdm_tpu.diagnostics import log_images
 
-        nns = nns[:max_images]
-        z = sample_with_neighbors(
-            self.model, state.ema.params, nns, self.schedule,
-            DDIMSamplerConfig(num_steps=self.tcfg.image_log_steps,
-                              guidance_scale=1.0),
-            jax.random.PRNGKey(step))
-        imgs = to_uint8(self._decode(self.first_stage_params, z))
-        grid = np.concatenate(list(imgs), axis=1)  # horizontal strip
-        Image.fromarray(grid).save(os.path.join(
-            self.tcfg.logdir, "images", "train",
-            f"samples_gs-{step:06d}.png"))
+        grids = log_images(
+            self.model, state.ema.params, self.first_stage,
+            self.first_stage_params, self.schedule, batch,
+            jax.random.PRNGKey(step),
+            ddim_steps=self.tcfg.image_log_steps)
+        for key, grid in grids.items():
+            Image.fromarray(grid).save(os.path.join(
+                self.tcfg.logdir, "images", "train",
+                f"{key}_gs-{step:06d}.png"))

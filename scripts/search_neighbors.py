@@ -58,6 +58,10 @@ def parse_args():
                    help="also aggregate an nn_memory pickle here")
     p.add_argument("--random_embedder", action="store_true",
                    help="random projection instead of CLIP (smoke tests)")
+    p.add_argument("--backend", choices=["device", "host"],
+                   default="device",
+                   help="kNN backend: TPU matmul top-k or the native C++ "
+                        "host searcher")
     return p.parse_args()
 
 
@@ -117,7 +121,7 @@ def main():
         if builder.pool is None:
             raise SystemExit(f"no database at {opt.database}; pass "
                              "--build_filelist to create one")
-    builder.train_searcher()
+    builder.train_searcher(backend=opt.backend)
 
     # phase 2: queries
     with open(opt.query_filelist) as f:

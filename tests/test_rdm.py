@@ -106,6 +106,10 @@ def test_ddim_sampling_end_to_end_jitted():
 def test_cfg_guidance_changes_sample():
     cfg = tiny_rdm()
     model, params = _init(cfg)
+    # zero-init output conv => eps == 0 at init and CFG is a no-op; nudge
+    # every conv kernel so the denoiser actually responds to context
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params)
     schedule = DiffusionSchedule.create(
         cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
     nns = jax.random.normal(jax.random.PRNGKey(5), (1, 1, 2, 8))

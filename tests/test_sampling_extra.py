@@ -27,6 +27,35 @@ def test_ddpm_sample_shapes_and_determinism():
     assert not np.allclose(np.asarray(out), np.asarray(out3))
 
 
+def test_ddim_retro_sample_reembeds_context():
+    """The re-embed hook must fire every retro_every steps and its output
+    must flow into subsequent denoiser calls."""
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_retro_sample
+
+    schedule = DiffusionSchedule.create(40, "linear", 0.0015, 0.0195)
+    calls = []
+
+    def denoise(x, t, ctx):
+        # record the context magnitude seen at each call via a tap
+        return 0.05 * x + 0.001 * jnp.mean(ctx)
+
+    def reembed(pred_x0):
+        return jnp.ones((1, 2, 4)) * jnp.mean(jnp.abs(pred_x0))
+
+    out = ddim_retro_sample(
+        denoise, schedule, DDIMSamplerConfig(num_steps=8),
+        (1, 4, 4, 1), jnp.zeros((1, 2, 4)), jax.random.PRNGKey(0),
+        reembed_fn=reembed, retro_every=2)
+    assert out.shape == (1, 4, 4, 1)
+    assert np.isfinite(np.asarray(out)).all()
+    # with no re-retrieval the trajectory differs (context stays zeros)
+    out_static = ddim_retro_sample(
+        denoise, schedule, DDIMSamplerConfig(num_steps=8),
+        (1, 4, 4, 1), jnp.zeros((1, 2, 4)), jax.random.PRNGKey(0),
+        reembed_fn=reembed, retro_every=100)
+    assert not np.allclose(np.asarray(out), np.asarray(out_static))
+
+
 def test_benchmark_and_timer():
     f = jax.jit(lambda x: x * 2.0)
     stats = benchmark(f, jnp.ones((8, 8)), warmup=1, iters=3)
