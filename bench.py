@@ -53,8 +53,9 @@ def synth_params(shapes, seed: int = 0):
     out = []
     for leaf in leaves:
         if leaf.ndim >= 2:
-            arr = rng.standard_normal(leaf.shape).astype(
-                np.float32) * 0.02
+            # uniform f32 is ~20x cheaper to generate than f64 normals on
+            # a weak host core; magnitude is all that matters here
+            arr = (rng.random(leaf.shape, dtype=np.float32) - 0.5) * 0.05
         else:
             arr = np.zeros(leaf.shape, dtype=np.float32)
         out.append(jnp.asarray(arr, dtype=leaf.dtype))
@@ -65,8 +66,6 @@ def main():
     from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
     from rdm_tpu.models.rdm import RDM, RDMConfig, sample_with_neighbors
     from rdm_tpu.ops.schedules import DiffusionSchedule
-    from rdm_tpu.retrieval.database import DataPool
-    from rdm_tpu.retrieval.engine import RetrievalEngine
     from rdm_tpu.sampling import DDIMSamplerConfig
 
     cfg = RDMConfig.imagenet()
@@ -96,26 +95,32 @@ def main():
     sampler = DDIMSamplerConfig(num_steps=DDIM_STEPS,
                                 guidance_scale=GUIDANCE)
 
-    # synthetic CLIP database (released db is not downloadable offline);
-    # compute cost is identical to the real one
-    emb = np.random.default_rng(0).standard_normal(
-        (DB_ROWS, 512)).astype(np.float32)
-    pool = DataPool(embeddings=emb)
-    engine = RetrievalEngine(pool, mesh=None)
+    # synthetic CLIP database generated ON DEVICE (host RNG for 656M values
+    # takes minutes on a weak core; compute cost is identical either way)
+    print("building device-side database...", flush=True)
+    from rdm_tpu.retrieval.engine import knn_search, l2_normalize
+
+    @jax.jit
+    def make_db(key):
+        db = jax.random.normal(key, (DB_ROWS, 512), dtype=jnp.bfloat16)
+        return l2_normalize(db.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    db_norm = make_db(jax.random.PRNGKey(7))
+    jax.block_until_ready(db_norm)
+    print("database ready", flush=True)
 
     @jax.jit
     def pipeline(params, vq_params, query_emb, rng):
-        from rdm_tpu.retrieval.engine import knn_search, l2_normalize
         q = l2_normalize(query_emb)
-        _, nns = knn_search(engine.db_norm, q, K_NN)
-        neighbors = jnp.take(engine.db_norm, nns, axis=0).astype(jnp.float32)
+        _, nns = knn_search(db_norm, q, K_NN)
+        neighbors = jnp.take(db_norm, nns, axis=0).astype(jnp.float32)
         z = sample_with_neighbors(model, params, neighbors, schedule,
                                   sampler, rng)
         img = vq.apply(vq_params, z, force_not_quantize=False,
                        method=VQModel.decode)
         return img
 
-    q = jnp.asarray(emb[:BATCH])
+    q = db_norm[:BATCH].astype(jnp.float32)
 
     # warmup + compile
     import time as _t; _c0 = _t.perf_counter()

@@ -35,6 +35,33 @@ def lambda_linear_schedule(
     return schedule
 
 
+def lambda_warmup_cosine_schedule(
+    base_lr: float,
+    warm_up_steps: int,
+    lr_max: float = 1.0,
+    lr_min: float = 0.0,
+    lr_start: float = 0.0,
+    cycle_length: float = 1e12,
+) -> optax.Schedule:
+    """ldm LambdaWarmUpCosineScheduler: linear warmup lr_start→lr_max, then
+    cosine decay toward lr_min over the cycle."""
+
+    def schedule(step):
+        warm = lr_start + (lr_max - lr_start) * (
+            step / max(warm_up_steps, 1))
+        t = jnp.clip((step - warm_up_steps) / cycle_length, 0.0, 1.0)
+        cos = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(jnp.pi * t))
+        return base_lr * jnp.where(step < warm_up_steps, warm, cos)
+
+    return schedule
+
+
+SCHEDULES = {
+    "lambda_linear": lambda_linear_schedule,
+    "lambda_warmup_cosine": lambda_warmup_cosine_schedule,
+}
+
+
 def make_optimizer(
     base_lr: float,
     *,
@@ -44,8 +71,10 @@ def make_optimizer(
     b2: float = 0.999,
     grad_clip: Optional[float] = None,
     accumulate_steps: int = 1,
+    schedule_name: str = "lambda_linear",
 ) -> optax.GradientTransformation:
-    schedule = lambda_linear_schedule(base_lr, warm_up_steps=warm_up_steps)
+    schedule = SCHEDULES[schedule_name](base_lr,
+                                        warm_up_steps=warm_up_steps)
     tx = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)

@@ -98,3 +98,55 @@ def make_train_step(
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_rarm_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    *,
+    mesh: Optional[Mesh] = None,
+    ema_decay: float = 0.9999,
+    p_mask_max: float = 0.0,
+):
+    """Train step for the RARM transformer: teacher-forced cross-entropy
+    over VQ code indices (reference transformer.py:46-57, 207-222), same
+    DP sharding/EMA plumbing as the diffusion step.
+
+    step(state, z_indices[B,S] int32, neighbors[B,S_ctx,D], rng)."""
+    from rdm_tpu.models.rarm import RARM
+
+    def loss_fn(params, z_indices, neighbors, rng):
+        p_mask = None
+        if p_mask_max > 0.0:
+            p_mask = jax.random.uniform(jax.random.fold_in(rng, 2),
+                                        maxval=p_mask_max)
+        return model.apply(params, z_indices, neighbors,
+                           jax.random.fold_in(rng, 3), p_mask,
+                           method=RARM.training_loss)
+
+    def train_step(state: TrainState, z_indices, neighbors, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params, z_indices, neighbors, rng)
+        inner = "params" in state.params
+        g = grads["params"] if inner else grads
+        p = state.params["params"] if inner else state.params
+        updates, opt_state = tx.update(g, state.opt_state, p)
+        new_p = optax.apply_updates(p, updates)
+        new_params = {**state.params, "params": new_p} if inner else new_p
+        ema = ema_update(state.ema, new_params, decay=ema_decay)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(g)
+        return TrainState(state.step + 1, new_params, opt_state,
+                          ema), metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, batch_sh, batch_sh, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )

@@ -39,6 +39,7 @@ from rdm_tpu.training.optim import make_optimizer
 from rdm_tpu.training.train_state import (
     TrainState,
     init_train_state,
+    make_rarm_train_step,
     make_train_step,
 )
 
@@ -60,6 +61,7 @@ class TrainerConfig:
     seed: int = 0
     monitor: str = "loss_simple"
     max_ckpts: int = 3
+    use_tensorboard: bool = False  # tf.summary scalars under <logdir>/tb
 
 
 class RDMTrainer:
@@ -106,6 +108,15 @@ class RDMTrainer:
             max_to_keep=trainer.max_ckpts, monitor=trainer.monitor)
         self._metrics_f = open(
             os.path.join(trainer.logdir, "metrics.jsonl"), "a")
+        self._tb = None
+        if trainer.use_tensorboard:
+            try:
+                import tensorflow as tf
+                self._tb = tf.summary.create_file_writer(
+                    os.path.join(trainer.logdir, "tb"))
+            except ImportError:
+                print("tensorboard logging requested but tensorflow "
+                      "unavailable; falling back to jsonl only")
 
     # ---------- state ----------
 
@@ -179,6 +190,12 @@ class RDMTrainer:
                    samples_per_sec=round(seen / max(elapsed, 1e-9), 2))
         self._metrics_f.write(json.dumps(row) + "\n")
         self._metrics_f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+            with self._tb.as_default():
+                for k, v in row.items():
+                    if k != "step":
+                        tf.summary.scalar(k, v, step=step)
         print(f"step {step}: " + " ".join(
             f"{k}={v:.4g}" for k, v in row.items() if k != "step"))
 
@@ -206,3 +223,113 @@ class RDMTrainer:
             Image.fromarray(grid).save(os.path.join(
                 self.tcfg.logdir, "images", "train",
                 f"{key}_gs-{step:06d}.png"))
+
+
+class RARMTrainer:
+    """Training driver for the autoregressive family: images are VQ-f16
+    encoded to code indices on device, the transformer trains with
+    teacher-forced cross-entropy (reference LatentImageRETRO training via
+    main.py; AdamW betas (0.9, 0.95), transformer.py:283-287)."""
+
+    def __init__(self, config, trainer: TrainerConfig,
+                 first_stage_config: AutoencoderConfig,
+                 first_stage_params: Any, mesh=None,
+                 batch_size: Optional[int] = None):
+        import optax
+
+        from rdm_tpu.models.rarm import RARM
+
+        self.cfg = config
+        self.tcfg = trainer
+        n_data = mesh.shape.get("data", 1) if mesh is not None else 1
+        lr = trainer.base_lr
+        if trainer.scale_lr and batch_size is not None:
+            lr = (trainer.accumulate_grad_batches * n_data * batch_size
+                  * trainer.base_lr)
+        self.model = RARM(config, dtype=jnp.bfloat16)
+        from rdm_tpu.training.optim import lambda_linear_schedule
+        self.tx = optax.adamw(
+            lambda_linear_schedule(lr,
+                                   warm_up_steps=trainer.warm_up_steps),
+            b1=0.9, b2=0.95, weight_decay=1e-2)
+        self.step_fn = make_rarm_train_step(
+            self.model, self.tx, mesh=mesh, ema_decay=trainer.ema_decay,
+            p_mask_max=config.p_mask_max)
+        self.first_stage = VQModel(first_stage_config, dtype=jnp.bfloat16)
+        self.first_stage_params = first_stage_params
+
+        @jax.jit
+        def encode_codes(p, x):
+            _, _, idx = self.first_stage.apply(p, x,
+                                               method=VQModel.encode)
+            return idx.reshape(idx.shape[0], -1).astype(jnp.int32)
+
+        self._encode_codes = encode_codes
+        os.makedirs(trainer.logdir, exist_ok=True)
+        self.ckpt = CheckpointManager(
+            os.path.join(trainer.logdir, "checkpoints"),
+            max_to_keep=trainer.max_ckpts, monitor=trainer.monitor)
+        self._metrics_f = open(
+            os.path.join(trainer.logdir, "metrics.jsonl"), "a")
+        self._tb = None
+
+    def init_state(self) -> TrainState:
+        params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(self.tcfg.seed),
+            jnp.zeros((1, 4), jnp.int32),
+            jnp.zeros((1, self.cfg.seq_len, self.cfg.context_dim)))
+        return init_train_state(params, self.tx)
+
+    def resume_or_init(self) -> TrainState:
+        state = self.init_state()
+        latest = self.ckpt.latest_step()
+        if latest is not None:
+            print(f"resuming from step {latest}")
+            return self.ckpt.restore(state, latest)
+        return state
+
+    def prepare_batch(self, batch):
+        x = jnp.asarray(batch["image"], dtype=jnp.float32)
+        z_indices = self._encode_codes(self.first_stage_params, x)
+        nns = jnp.asarray(batch["nn_embeddings"], dtype=jnp.float32)
+        b = nns.shape[0]
+        if nns.ndim == 4:
+            nns = nns.reshape(b, -1, nns.shape[-1])
+        return z_indices, nns
+
+    def fit(self, loader, state: Optional[TrainState] = None,
+            max_steps: Optional[int] = None) -> TrainState:
+        state = state if state is not None else self.resume_or_init()
+        max_steps = max_steps or self.tcfg.max_steps
+        rng = jax.random.PRNGKey(self.tcfg.seed + 1)
+        t0 = time.time()
+        try:
+            while int(state.step) < max_steps:
+                for batch in loader:
+                    step = int(state.step)
+                    if step >= max_steps:
+                        break
+                    z_idx, nns = self.prepare_batch(batch)
+                    state, metrics = self.step_fn(state, z_idx, nns, rng)
+                    if step % self.tcfg.log_every == 0:
+                        row = {k: float(np.asarray(v))
+                               for k, v in metrics.items()}
+                        row.update(step=step,
+                                   wall_s=round(time.time() - t0, 1))
+                        self._metrics_f.write(json.dumps(row) + "\n")
+                        self._metrics_f.flush()
+                        print(f"step {step}: " + " ".join(
+                            f"{k}={v:.4g}" for k, v in row.items()
+                            if k != "step"))
+                    if step and step % self.tcfg.ckpt_every == 0:
+                        self.ckpt.save(step, jax.device_get(state),
+                                       metrics={
+                                           k: np.asarray(v)
+                                           for k, v in metrics.items()})
+        except BaseException:
+            self.ckpt.save(int(state.step), jax.device_get(state))
+            self.ckpt.wait()
+            raise
+        self.ckpt.save(int(state.step), jax.device_get(state))
+        self.ckpt.wait()
+        return state

@@ -74,11 +74,17 @@ def main():
 
     from rdm_tpu.data.base import DataLoader, ImagePaths, QueryDataset
     from rdm_tpu.models.autoencoder import VQModel
+    from rdm_tpu.models.rarm import RARMConfig
     from rdm_tpu.parallel.mesh import make_mesh
-    from rdm_tpu.training.trainer import RDMTrainer, TrainerConfig
+    from rdm_tpu.training.trainer import (
+        RARMTrainer,
+        RDMTrainer,
+        TrainerConfig,
+    )
 
     model_cfg = model_config_from_yaml(cfg)
     fs_cfg = first_stage_config_from_yaml(cfg)
+    is_rarm = isinstance(model_cfg, RARMConfig)
 
     data_cfg = cfg.get("data", {}).get("params", {})
     batch_size = data_cfg.get("batch_size", 4)
@@ -91,10 +97,10 @@ def main():
         with open(filelist) as f:
             paths = [l.strip() for l in f if l.strip()]
         base = ImagePaths(paths, size=train_cfg.get("size", 256))
-        dataset = QueryDataset(base, nns=nns,
-                               k=model_cfg.k_nn,
-                               n_patches_per_side=model_cfg.
-                               n_patches_per_side)
+        k_nn = getattr(model_cfg, "k_nn", 4)
+        npp = getattr(model_cfg, "n_patches_per_side", 1)
+        dataset = QueryDataset(base, nns=nns, k=k_nn,
+                               n_patches_per_side=npp)
     else:
         raise SystemExit(
             "data.params.train.params.filelist must point to an image "
@@ -132,8 +138,9 @@ def main():
         max_steps=opt.max_steps or lightning.get("max_steps", 100_000),
         seed=opt.seed,
     )
-    trainer = RDMTrainer(model_cfg, tcfg, fs_cfg, fs_params, mesh=mesh,
-                         batch_size=batch_size)
+    cls = RARMTrainer if is_rarm else RDMTrainer
+    trainer = cls(model_cfg, tcfg, fs_cfg, fs_params, mesh=mesh,
+                  batch_size=batch_size)
     trainer.fit(loader)
 
 

@@ -98,3 +98,30 @@ def test_resume_continues_from_checkpoint(workspace):
     np.testing.assert_allclose(np.asarray(p0), np.asarray(p1), atol=1e-6)
     state3 = trainer2.fit(loader, state=resumed, max_steps=4)
     assert int(state3.step) == 4
+
+
+def test_rarm_trainer_steps(workspace, tmp_path):
+    from rdm_tpu.models.rarm import RARMConfig
+    from rdm_tpu.training.trainer import RARMTrainer
+
+    tmp_root, files, nns = workspace
+    ds = QueryDataset(ImagePaths(files, size=32), nns=nns, k=2)
+    loader = DataLoader(ds, batch_size=2, shuffle=True)
+    fs_cfg = AutoencoderConfig(ch=8, ch_mult=(1, 2, 4), num_res_blocks=1,
+                               resolution=32, z_channels=4, embed_dim=4,
+                               n_embed=16)
+    fs = VQModel(fs_cfg)
+    fs_params = fs.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    # 32px f4 -> 8x8 = 64 tokens
+    rcfg = RARMConfig(vocab_size=18, out_vocab=16, heads=2, head_dim=8,
+                      depth=1, context_dim=16, seq_len=64, sos_token=17,
+                      mask_token=16, code_side=8)
+    tcfg = TrainerConfig(logdir=str(tmp_path / "rarm_run"), base_lr=1e-3,
+                         max_steps=3, log_every=1, ckpt_every=10,
+                         image_log_every=0, warm_up_steps=1)
+    trainer = RARMTrainer(rcfg, tcfg, fs_cfg, fs_params, batch_size=2)
+    state = trainer.fit(loader)
+    assert int(state.step) == 3
+    metrics = [json.loads(l) for l in
+               open(os.path.join(tcfg.logdir, "metrics.jsonl"))]
+    assert all(np.isfinite(m["loss"]) for m in metrics)
