@@ -110,7 +110,9 @@ def main():
     print("database ready", flush=True)
 
     @jax.jit
-    def pipeline(params, vq_params, query_emb, rng):
+    def pipeline(params, vq_params, db_norm, query_emb, rng):
+        # db_norm MUST be an argument: a closed-over 1.3 GB array would be
+        # baked into the HLO as a constant and choke compilation
         q = l2_normalize(query_emb)
         _, nns = knn_search(db_norm, q, K_NN)
         neighbors = jnp.take(db_norm, nns, axis=0).astype(jnp.float32)
@@ -125,14 +127,15 @@ def main():
     # warmup + compile
     import time as _t; _c0 = _t.perf_counter()
     print("compiling pipeline...", flush=True)
-    img = pipeline(params, vq_params, q, jax.random.PRNGKey(2))
+    img = pipeline(params, vq_params, db_norm, q, jax.random.PRNGKey(2))
     jax.block_until_ready(img)
     print(f"compile+warmup done in {_t.perf_counter()-_c0:.1f}s", flush=True)
 
     runs = 3
     start = time.perf_counter()
     for i in range(runs):
-        img = pipeline(params, vq_params, q, jax.random.PRNGKey(3 + i))
+        img = pipeline(params, vq_params, db_norm, q,
+                       jax.random.PRNGKey(3 + i))
     jax.block_until_ready(img)
     elapsed = time.perf_counter() - start
     imgs_per_sec = BATCH * runs / elapsed
@@ -140,7 +143,7 @@ def main():
     # analytic A100 estimate over identical FLOPs: measure our per-image
     # FLOPs via XLA cost analysis of the compiled pipeline
     try:
-        comp = pipeline.lower(params, vq_params, q,
+        comp = pipeline.lower(params, vq_params, db_norm, q,
                               jax.random.PRNGKey(2)).compile()
         flops_total = comp.cost_analysis()["flops"]
         flops_per_img = flops_total / BATCH

@@ -50,14 +50,15 @@ class ClipConfig:
     vocab_size: int = 49408
     transformer_width: int = 512
     transformer_layers: int = 12
+    head_dim: int = 64  # OpenAI convention: heads = width / 64
 
     @property
     def vision_heads(self) -> int:
-        return self.vision_width // 64
+        return self.vision_width // self.head_dim
 
     @property
     def transformer_heads(self) -> int:
-        return self.transformer_width // 64
+        return self.transformer_width // self.head_dim
 
     @classmethod
     def vit_b32(cls) -> "ClipConfig":

@@ -171,3 +171,64 @@ class UNet(nn.Module):
         h = conv(cfg.out_channels, 3, self.dtype, zero_init=True,
                  name="out_conv")(h)
         return h.astype(jnp.float32)
+
+
+class EncoderUNet(nn.Module):
+    """Half U-Net classifier/feature-extractor — the reference's
+    EncoderUNetModel (/root/reference/rdm/modules/diffusionmodules/
+    openaimodel.py:374-590): the down path + middle block followed by a
+    pooled head. pool: "adaptive" (global average) or "spatial" (flatten).
+    Used for noisy-classifier guidance experiments.
+    """
+
+    config: UNetConfig
+    out_features: int = 512
+    pool: str = "adaptive"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t, *, deterministic: bool = True):
+        cfg = self.config
+        ch0 = cfg.model_channels
+        time_dim = ch0 * 4
+        t_emb = timestep_embedding(t, ch0)
+        emb = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_dense1")(t_emb.astype(self.dtype))
+        emb = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
+                       name="time_dense2")(nn.silu(emb))
+
+        def res(ch, name, **kw):
+            return ResBlock(out_channels=ch, dropout=cfg.dropout,
+                            use_scale_shift_norm=cfg.use_scale_shift_norm,
+                            dtype=self.dtype, name=name, **kw)
+
+        h = conv(ch0, 3, self.dtype, name="conv_in")(x.astype(self.dtype))
+        ds, ch = 1, ch0
+        for level, mult in enumerate(cfg.channel_mult):
+            for i in range(cfg.num_res_blocks):
+                ch = mult * ch0
+                h = res(ch, f"down_{level}_{i}_res")(
+                    h, emb, deterministic=deterministic)
+                if ds in cfg.attention_resolutions:
+                    heads, head_dim = cfg.heads_for(ch)
+                    h = SpatialTransformer(
+                        heads=heads, head_dim=head_dim,
+                        depth=cfg.transformer_depth, dtype=self.dtype,
+                        name=f"down_{level}_{i}_attn")(
+                        h, None, deterministic=deterministic)
+            if level != len(cfg.channel_mult) - 1:
+                h = Downsample(out_channels=ch,
+                               use_conv=cfg.conv_resample,
+                               dtype=self.dtype,
+                               name=f"down_{level}_down")(h)
+                ds *= 2
+        h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
+        h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
+        h = nn.silu(GroupNorm32(name="out_norm")(h))
+        if self.pool == "adaptive":
+            h = jnp.mean(h, axis=(1, 2))
+        else:
+            h = h.reshape(h.shape[0], -1)
+        return nn.Dense(self.out_features, dtype=self.dtype,
+                        param_dtype=jnp.float32,
+                        name="head")(h).astype(jnp.float32)

@@ -36,10 +36,13 @@ _NEG_INF = -1e9
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
                  sq: int, sk: int, block_q: int):
-    """One q-block vs the full key sequence of one (batch, head)."""
-    q = q_ref[0, :, 0, :]  # [BQ, D]
-    k = k_ref[0, :, 0, :]  # [Sk, D]
-    v = v_ref[0, :, 0, :]  # [Sk, D]
+    """One q-block vs the full key sequence of one (batch, head).
+
+    Refs are BHSD blocks of shape (1, 1, S, D): the last two dims are the
+    (sublane, lane) tile dims, as the Mosaic lowering requires."""
+    q = q_ref[0, 0, :, :]  # [BQ, D]
+    k = k_ref[0, 0, :, :]  # [Sk, D]
+    v = v_ref[0, 0, :, :]  # [Sk, D]
 
     scores = jax.lax.dot_general(
         q, k,
@@ -66,7 +69,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BQ, D]
-    o_ref[0, :, 0, :] = out.astype(o_ref.dtype)
+    o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
 def _flash_forward(q, k, v, scale: float, causal: bool):
@@ -77,32 +80,40 @@ def _flash_forward(q, k, v, scale: float, causal: bool):
         block_q //= 2
     grid = (b, h, sq // block_q)
 
+    # BSHD -> BHSD so (seq, head_dim) are the tiled trailing dims; XLA
+    # fuses these transposes into the surrounding projection matmuls
+    qt = jnp.transpose(q, (0, 2, 1, 3))
+    kt = jnp.transpose(k, (0, 2, 1, 3))
+    vt = jnp.transpose(v, (0, 2, 1, 3))
+
     kernel = functools.partial(
         _attn_kernel, scale=scale, causal=causal, sq=sq, sk=sk,
         block_q=block_q,
     )
     flops = 4 * b * h * sq * sk * d
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, hi, qi: (bi, hi, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk, 1, d), lambda bi, hi, qi: (bi, 0, hi, 0),
+            pl.BlockSpec((1, 1, sk, d), lambda bi, hi, qi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, block_q, 1, d), lambda bi, hi, qi: (bi, qi, hi, 0),
+            (1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0),
             memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
-    )(q, k, v)
+    )(qt, kt, vt)
+    return jnp.transpose(out, (0, 2, 1, 3))
 
 
 def _xla_reference(q, k, v, scale: float, causal: bool):

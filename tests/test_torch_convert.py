@@ -470,3 +470,149 @@ def test_clip_block_mha_packing():
     out = model.apply(params, jnp.asarray(x.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-4,
                                rtol=1e-3)
+
+
+# ---------------- full CLIP oracle ----------------
+
+class TClipVisual(tnn.Module):
+    def __init__(self, width, layers, patch, res, out_dim):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, width, patch, stride=patch, bias=False)
+        scale = width ** -0.5
+        self.class_embedding = tnn.Parameter(scale * torch.randn(width))
+        grid = res // patch
+        self.positional_embedding = tnn.Parameter(
+            scale * torch.randn(grid * grid + 1, width))
+        self.ln_pre = tnn.LayerNorm(width)
+        self.transformer = tnn.Module()
+        self.transformer.resblocks = tnn.ModuleList(
+            [TClipBlock(width, width // 16) for _ in range(layers)])
+        self.ln_post = tnn.LayerNorm(width)
+        self.proj = tnn.Parameter(scale * torch.randn(width, out_dim))
+
+    def forward(self, x):
+        x = self.conv1(x)
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        cls = self.class_embedding[None, None].expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1) + self.positional_embedding
+        x = self.ln_pre(x)
+        for blk in self.transformer.resblocks:
+            x = blk(x)
+        return self.ln_post(x[:, 0]) @ self.proj
+
+
+class TClip(tnn.Module):
+    def __init__(self, width=32, layers=2, patch=8, res=16, out=16,
+                 twidth=32, tlayers=2, ctx=12, vocab=64):
+        super().__init__()
+        self.visual = TClipVisual(width, layers, patch, res, out)
+        self.token_embedding = tnn.Embedding(vocab, twidth)
+        self.positional_embedding = tnn.Parameter(
+            0.01 * torch.randn(ctx, twidth))
+        self.transformer = tnn.Module()
+        self.transformer.resblocks = tnn.ModuleList(
+            [TClipBlock(twidth, twidth // 16) for _ in range(tlayers)])
+        self.ln_final = tnn.LayerNorm(twidth)
+        self.text_projection = tnn.Parameter(
+            0.02 * torch.randn(twidth, out))
+        self.logit_scale = tnn.Parameter(torch.tensor(2.6593))
+
+    def encode_text(self, toks):
+        x = self.token_embedding(toks) + self.positional_embedding
+        for blk in self.transformer.resblocks:
+            x = blk(x, causal=True)
+        x = self.ln_final(x)
+        eot = toks.argmax(dim=-1)
+        return x[torch.arange(x.shape[0]), eot] @ self.text_projection
+
+
+def test_full_clip_conversion():
+    from rdm_tpu.models.clip import CLIP, ClipConfig
+
+    torch.manual_seed(3)
+    oracle = TClip().eval()
+    sd = _sd(oracle)
+    from rdm_tpu.utils.torch_convert import convert_clip
+    cfg = ClipConfig(embed_dim=16, image_resolution=16, vision_width=32,
+                     vision_layers=2, vision_patch_size=8,
+                     context_length=12, vocab_size=64,
+                     transformer_width=32, transformer_layers=2,
+                     head_dim=16)
+    params, _ = convert_clip(sd, cfg)
+    model = CLIP(cfg)
+    with torch.no_grad():
+        img = torch.randn(2, 3, 16, 16)
+        ref_img = oracle.visual(img)
+        toks = torch.tensor([[63, 5, 9, 62, 0, 0, 0, 0, 0, 0, 0, 0],
+                             [63, 7, 62, 0, 0, 0, 0, 0, 0, 0, 0, 0]])
+        ref_txt = oracle.encode_text(toks)
+    out_img = model.apply(params, _nhwc(img), method=CLIP.encode_image)
+    np.testing.assert_allclose(np.asarray(out_img), ref_img.numpy(),
+                               atol=3e-4, rtol=1e-3)
+    out_txt = model.apply(params, jnp.asarray(toks.numpy()),
+                          method=CLIP.encode_text)
+    np.testing.assert_allclose(np.asarray(out_txt), ref_txt.numpy(),
+                               atol=3e-4, rtol=1e-3)
+
+
+# ---------------- RARM transformer oracle ----------------
+
+class TRarm(tnn.Module):
+    """RetrievalPatchTransformer, continuous=False layout
+    (reference attention.py:199-272)."""
+
+    def __init__(self, vocab=24, inner=32, heads=2, d_head=16, depth=2,
+                 ctx_dim=8, seq=6, out_vocab=20):
+        super().__init__()
+        self.proj_in = tnn.Embedding(vocab, inner)
+        self.positional_encoding = tnn.Parameter(
+            torch.randn(inner, seq) / inner ** 0.5)
+        self.transformer_blocks = tnn.ModuleList([
+            TTransformerBlock(inner, ctx_dim, heads, d_head)
+            for _ in range(depth)])
+        self.proj_out = tnn.Conv1d(inner, out_vocab, 1)
+        self.heads, self.d_head = heads, d_head
+
+    def forward(self, x, context):
+        x = self.proj_in(x)  # [b, t, c]
+        x = x + self.positional_encoding.T[None, :x.shape[1]]
+        s = x.shape[1]
+        mask = torch.full((s, s), float("-inf")).triu(1)
+        for blk in self.transformer_blocks:
+            # causal self-attention + cross-attention + ff, pre-LN
+            h = blk.norm1(x)
+            b, t, _ = h.shape
+            hd, nh = self.d_head, self.heads
+            q = blk.attn1.to_q(h).reshape(b, t, nh, hd).permute(0, 2, 1, 3)
+            kk = blk.attn1.to_k(h).reshape(b, t, nh, hd).permute(0, 2, 1, 3)
+            vv = blk.attn1.to_v(h).reshape(b, t, nh, hd).permute(0, 2, 1, 3)
+            att = torch.softmax(
+                q @ kk.transpose(-1, -2) * hd ** -0.5 + mask, dim=-1)
+            sa = (att @ vv).permute(0, 2, 1, 3).reshape(b, t, -1)
+            x = x + blk.attn1.to_out[0](sa)
+            x = x + blk.attn2(blk.norm2(x), context)
+            x = x + blk.ff.net(blk.norm3(x))
+        return self.proj_out(x.permute(0, 2, 1)).permute(0, 2, 1)
+
+
+def test_rarm_transformer_conversion():
+    from rdm_tpu.models.rarm import RARM, RARMConfig
+    from rdm_tpu.utils.torch_convert import convert_rarm_transformer
+
+    torch.manual_seed(4)
+    oracle = TRarm().eval()
+    sd = {f"transformer.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    cfg = RARMConfig(vocab_size=24, out_vocab=20, heads=2, head_dim=16,
+                     depth=2, context_dim=8, seq_len=6, sos_token=23,
+                     mask_token=22, code_side=2)
+    params = convert_rarm_transformer(sd, cfg.depth)
+    model = RARM(cfg)
+    with torch.no_grad():
+        toks = torch.randint(0, 20, (2, 6))
+        ctx = torch.randn(2, 3, 8)
+        ref = oracle(toks, ctx)
+    out = model.apply(params, jnp.asarray(toks.numpy()),
+                      jnp.asarray(ctx.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-4,
+                               rtol=1e-3)

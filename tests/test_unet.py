@@ -177,3 +177,18 @@ def test_spatial_transformer_residual_at_init():
     out = st.apply(params, x, ctx)
     # zero-init proj_out → exact identity at init
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+
+def test_encoder_unet_pooling():
+    from rdm_tpu.models.unet import EncoderUNet
+
+    cfg = tiny_cfg(context_dim=None)
+    model = EncoderUNet(cfg, out_features=10)
+    x = jnp.ones((2, 16, 16, 3))
+    t = jnp.asarray([0, 5])
+    params = model.init(jax.random.PRNGKey(0), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (2, 10)
+    sp = EncoderUNet(cfg, out_features=10, pool="spatial")
+    params2 = sp.init(jax.random.PRNGKey(0), x, t)
+    assert sp.apply(params2, x, t).shape == (2, 10)
