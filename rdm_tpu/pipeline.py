@@ -55,6 +55,19 @@ def to_uint8(images: np.ndarray) -> np.ndarray:
     return (x * 255).astype(np.uint8)
 
 
+def cast_params_for_inference(params, dtype=jnp.bfloat16):
+    """Cast >=2D weight leaves to the compute dtype ONCE.
+
+    Modules declare param_dtype=fp32 and cast at use; inside a sampling
+    lax.scan that cast re-reads the full fp32 weight set from HBM every
+    step. Pre-cast weights make it a no-op. 1D leaves (biases, norm
+    scales) stay fp32 — norms recast to fp32 internally anyway.
+    """
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if getattr(p, "ndim", 0) >= 2 else p,
+        params)
+
+
 @dataclasses.dataclass
 class _Retrieval:
     engine: RetrievalEngine
@@ -84,9 +97,10 @@ class RDMPipeline:
                  dtype=jnp.bfloat16, mesh=None):
         self.config = config
         self.model = RDM(config, dtype=dtype)
-        self.params = params
+        self.params = cast_params_for_inference(params, dtype)
         self.first_stage = VQModel(first_stage_config, dtype=dtype)
-        self.first_stage_params = first_stage_params
+        self.first_stage_params = cast_params_for_inference(
+            first_stage_params, dtype)
         self.schedule = DiffusionSchedule.create(
             config.timesteps, config.beta_schedule, config.linear_start,
             config.linear_end)
@@ -296,9 +310,10 @@ class RARMPipeline:
                  dtype=jnp.bfloat16, mesh=None):
         self.config = config
         self.model = RARM(config, dtype=dtype)
-        self.params = params
+        self.params = cast_params_for_inference(params, dtype)
         self.first_stage = VQModel(first_stage_config, dtype=dtype)
-        self.first_stage_params = first_stage_params
+        self.first_stage_params = cast_params_for_inference(
+            first_stage_params, dtype)
         self.retrieval = None
         if pool is not None:
             self.retrieval = _Retrieval(

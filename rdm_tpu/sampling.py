@@ -48,6 +48,7 @@ def ddim_sample(
     x_init: Optional[jnp.ndarray] = None,
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
+    quantize_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the full DDIM reverse process.
 
@@ -60,6 +61,9 @@ def ddim_sample(
       x_init: optional starting noise (defaults to N(0,1)).
       mask/x0: optional inpainting blend — keep x0 where mask==1
         (reference ddim.py:187-190).
+      quantize_fn: optional pred_x0 projection applied each step — the
+        `quantize_denoised` codebook snap (reference ddim.py:260-261);
+        pass the first stage's quantizer.
 
     Returns:
       (x_0 sample, pred_x0 intermediates [n_logged, B, ...] or None)
@@ -97,8 +101,26 @@ def ddim_sample(
         eps = eps_model(x, t)
         rng, nrng, mrng = jax.random.split(rng, 3)
         noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
-        x_prev, pred_x0 = ddim_step(
-            ddim, x, eps, index, noise, temperature=config.temperature)
+        if quantize_fn is None:
+            x_prev, pred_x0 = ddim_step(
+                ddim, x, eps, index, noise,
+                temperature=config.temperature)
+        else:
+            # quantize_denoised: snap pred_x0 to the first-stage codebook
+            # before the update (reference ddim.py:260-261)
+            shape1 = (1,) * (x.ndim - 1)
+            a_t = ddim.alphas[index].reshape((1,) + shape1)
+            a_prev = ddim.alphas_prev[index].reshape((1,) + shape1)
+            sigma_t = ddim.sigmas[index].reshape((1,) + shape1)
+            sq1ma = ddim.sqrt_one_minus_alphas[index].reshape(
+                (1,) + shape1)
+            xf = x.astype(jnp.float32)
+            ef = eps.astype(jnp.float32)
+            pred_x0 = quantize_fn((xf - sq1ma * ef) / jnp.sqrt(a_t))
+            dir_xt = jnp.sqrt(
+                jnp.maximum(1.0 - a_prev - sigma_t**2, 0.0)) * ef
+            x_prev = (jnp.sqrt(a_prev) * pred_x0 + dir_xt
+                      + sigma_t * config.temperature * noise)
         if mask is not None:
             # re-noise x0 to the *previous* timestep and blend
             from rdm_tpu.ops.schedules import q_sample

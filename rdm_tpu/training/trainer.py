@@ -89,6 +89,9 @@ class RDMTrainer:
             lr, warm_up_steps=trainer.warm_up_steps,
             grad_clip=trainer.grad_clip,
             accumulate_steps=trainer.accumulate_grad_batches)
+        from rdm_tpu.training.optim import lambda_linear_schedule
+        self._lr_schedule = lambda_linear_schedule(
+            lr, warm_up_steps=trainer.warm_up_steps)
         self.step_fn = make_train_step(
             self.model, self.tx, self.schedule, mesh=mesh,
             ema_decay=trainer.ema_decay)
@@ -187,7 +190,12 @@ class RDMTrainer:
              elapsed: float) -> None:
         row = {k: float(np.asarray(v)) for k, v in metrics.items()}
         row.update(step=step, samples_seen=seen, wall_s=round(elapsed, 1),
-                   samples_per_sec=round(seen / max(elapsed, 1e-9), 2))
+                   samples_per_sec=round(seen / max(elapsed, 1e-9), 2),
+                   lr=float(np.asarray(self._lr_schedule(step))))
+        from rdm_tpu.utils.profiling import device_memory_stats
+        mem = device_memory_stats()
+        if "bytes_in_use" in mem:
+            row["hbm_gb"] = round(mem["bytes_in_use"] / 2**30, 2)
         self._metrics_f.write(json.dumps(row) + "\n")
         self._metrics_f.flush()
         if self._tb is not None:

@@ -98,3 +98,67 @@ def test_ffhq_wrapper(tmp_path):
     ds = FFHQTrainRDM(str(root), size=32)
     assert len(ds) == 3
     assert ds[1]["image"].shape == (32, 32, 3)
+
+
+def test_semantic_and_superres_openimages(tmp_path):
+    from rdm_tpu.data.openimages import (
+        SemanticOpenImagesTrain,
+        SuperresOpenImagesTrain,
+    )
+
+    root = tmp_path / "oi2"
+    rels = [f"imgs/{i}.png" for i in range(2)]
+    for i, r in enumerate(rels):
+        _write_img(str(root / r), seed=i)
+    (root / "train_filelist.txt").write_text("\n".join(rels))
+    os.makedirs(root / "masks", exist_ok=True)
+    mask = np.zeros((48, 48), dtype=np.uint8)
+    mask[10:20, 10:20] = 5
+    Image.fromarray(mask).save(root / "masks" / "0.png")
+
+    sem = SemanticOpenImagesTrain(str(root), size=32)
+    s = sem[0]
+    assert s["segmentation"].shape == (32, 32)
+    assert set(np.unique(s["segmentation"])) <= {0, 5}
+    s1 = sem[1]  # no mask file -> background
+    assert (s1["segmentation"] == 0).all()
+
+    sr = SuperresOpenImagesTrain(str(root), size=32, down_factor=4,
+                                 noise_level=0.05)
+    p = sr[0]
+    assert p["image"].shape == (32, 32, 3)
+    assert p["LR_image"].shape == (8, 8, 3)
+    assert p["LR_image"].min() >= -1.0 and p["LR_image"].max() <= 1.0
+
+
+def test_video_builder(tmp_path):
+    from rdm_tpu.retrieval.video_builder import (
+        VideoClipSampler,
+        VideoDatasetBuilder,
+    )
+
+    class _Videos:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {"video": rng.standard_normal(
+                (10, 24, 24, 3)).astype(np.float32)}
+
+    sampler = VideoClipSampler(_Videos(), clip_len=4, patch_size=16,
+                               clips_per_video=3, seed=0)
+    item = sampler[0]
+    assert item["clip"].shape == (3, 4, 16, 16, 3)
+    assert item["frame_ranges"].shape == (3, 2)
+
+    def embedder(frames):
+        return frames.reshape(len(frames), -1)[:, :8]
+
+    builder = VideoDatasetBuilder(sampler, embedder=embedder,
+                                  save_dir=str(tmp_path / "vdb"))
+    pool = builder.build_data_pool()
+    assert pool.size == 6  # 2 videos x 3 clips
+    assert pool.embeddings.shape == (6, 8)
+    assert builder.frame_ranges.shape == (6, 2)
+    assert os.path.isfile(tmp_path / "vdb" / "frame_ranges.npy")

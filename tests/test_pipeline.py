@@ -1,0 +1,150 @@
+"""Pipeline tests: model-dir loading (reference YAML + random init),
+unconditional / query sampling surfaces, RARM pipeline decode.
+"""
+
+import os
+import pickle
+import textwrap
+
+import numpy as np
+import pytest
+
+RDM_YAML = textwrap.dedent("""
+model:
+  target: rdm.models.diffusion.ddpm.MinimalRETRODiffusion
+  params:
+    k_nn: 3
+    timesteps: 50
+    image_size: 8
+    channels: 3
+    unet_config:
+      params:
+        in_channels: 3
+        out_channels: 3
+        model_channels: 16
+        attention_resolutions: [2]
+        num_res_blocks: 1
+        channel_mult: [1, 2]
+        num_head_channels: 8
+        context_dim: 24
+    first_stage_config:
+      params:
+        embed_dim: 3
+        n_embed: 32
+        ddconfig:
+          z_channels: 3
+          resolution: 16
+          in_channels: 3
+          out_ch: 3
+          ch: 8
+          ch_mult: [1, 2]
+          num_res_blocks: 1
+          attn_resolutions: []
+""")
+
+RARM_YAML = textwrap.dedent("""
+model:
+  target: rdm.models.autoregression.transformer.LatentImageRETRO
+  params:
+    mask_token: 32
+    sos_token: 33
+    transformer_config:
+      params:
+        in_channels: 34
+        n_heads: 2
+        d_head: 8
+        depth: 1
+        context_dim: 24
+        sequence_length: 16
+        out_channels: 32
+        causal: true
+        continuous: false
+    first_stage_config:
+      params:
+        embed_dim: 3
+        n_embed: 32
+        ddconfig:
+          z_channels: 3
+          resolution: 16
+          in_channels: 3
+          out_ch: 3
+          ch: 8
+          ch_mult: [1, 2, 4]
+          num_res_blocks: 1
+          attn_resolutions: []
+""")
+
+
+@pytest.fixture
+def model_dirs(tmp_path):
+    rdm_dir = tmp_path / "rdm"
+    rarm_dir = tmp_path / "rarm"
+    db_dir = tmp_path / "db"
+    for d in (rdm_dir, rarm_dir, db_dir):
+        d.mkdir()
+    (rdm_dir / "config.yaml").write_text(RDM_YAML)
+    (rarm_dir / "config.yaml").write_text(RARM_YAML)
+    emb = np.random.default_rng(0).standard_normal(
+        (400, 24)).astype(np.float32)
+    np.savez(db_dir / "part0.npz", embedding=emb,
+             img_id=np.arange(400),
+             patch_coords=np.zeros((400, 4), int))
+    mem = tmp_path / "mem.p"
+    ids, counts = np.unique(
+        np.random.default_rng(1).integers(0, 400, 300),
+        return_counts=True)
+    with open(mem, "wb") as f:
+        pickle.dump({"nn_memory": ids[np.argsort(-counts)],
+                     "id_count": {int(i): int(c)
+                                  for i, c in zip(ids, counts)}}, f)
+    return str(rdm_dir), str(rarm_dir), str(db_dir), str(mem)
+
+
+def test_rdm_pipeline_unconditional(model_dirs):
+    from rdm_tpu.pipeline import RDMPipeline
+
+    rdm_dir, _, db, mem = model_dirs
+    pipe = RDMPipeline.from_model_dir(rdm_dir, database=db, nn_memory=mem,
+                                      random_init=True)
+    logs = pipe.sample_unconditional(2, steps=4, guidance_scale=2.0,
+                                     seed=0, return_nns=True)
+    imgs = logs["samples_with_sampled_nns"]
+    assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+    assert logs["nn_embeddings"].shape == (2, 3, 24)
+    # reproducible
+    logs2 = pipe.sample_unconditional(2, steps=4, guidance_scale=2.0,
+                                      seed=0)
+    np.testing.assert_array_equal(imgs,
+                                  logs2["samples_with_sampled_nns"])
+
+
+def test_rdm_pipeline_query_modes(model_dirs):
+    from rdm_tpu.pipeline import RDMPipeline
+
+    rdm_dir, _, db, mem = model_dirs
+    pipe = RDMPipeline.from_model_dir(rdm_dir, database=db, nn_memory=mem,
+                                      random_init=True)
+    q = np.random.default_rng(2).standard_normal((2, 24)).astype(
+        np.float32)
+    a = pipe.sample_with_query(q, steps=3, seed=0)["query_samples"]
+    b = pipe.sample_with_query(q, steps=3, seed=0,
+                               omit_query=True)["query_samples"]
+    c = pipe.sample_with_query(q, steps=3, seed=0,
+                               only_query=True)["query_samples"]
+    # at random init the zero-init out-conv makes eps identical across
+    # conditionings, so only the shape contracts are checked here; the
+    # conditioning-sensitivity property is covered by
+    # tests/test_rdm.py::test_cfg_guidance_changes_sample
+    assert a.shape == b.shape == c.shape == (2, 16, 16, 3)
+
+
+def test_rarm_pipeline_unconditional(model_dirs):
+    from rdm_tpu.pipeline import RARMPipeline
+
+    _, rarm_dir, db, mem = model_dirs
+    pipe = RARMPipeline.from_model_dir(rarm_dir, database=db,
+                                       nn_memory=mem, random_init=True)
+    logs = pipe.sample_unconditional(2, k_nn=3, top_k=16, seed=0)
+    imgs = logs["samples_with_sampled_nns"]
+    # 16 tokens -> 4x4 grid -> f4 decode -> 16x16 images
+    assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8

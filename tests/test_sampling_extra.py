@@ -65,3 +65,20 @@ def test_benchmark_and_timer():
     with t.time(y):
         pass
     assert t.count == 1 and t.total >= 0.0
+
+
+def test_ddim_quantize_denoised_hook():
+    """quantize_fn must be applied to pred_x0 each step (reference
+    ddim.py:260-261 semantics)."""
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    schedule = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    denoise = lambda x, t, c: 0.1 * x
+    snap = lambda x0: jnp.round(x0 * 2.0) / 2.0  # toy codebook
+    out_q, _ = ddim_sample(denoise, schedule, DDIMSamplerConfig(num_steps=5),
+                           (1, 4, 4, 1), None, jax.random.PRNGKey(0),
+                           quantize_fn=snap)
+    out, _ = ddim_sample(denoise, schedule, DDIMSamplerConfig(num_steps=5),
+                         (1, 4, 4, 1), None, jax.random.PRNGKey(0))
+    assert out_q.shape == out.shape
+    assert not np.allclose(np.asarray(out_q), np.asarray(out))
