@@ -428,9 +428,17 @@ class DataLoader:
             def __getitem__(self, i):
                 return self.d[i]
 
+        def _worker_init(worker_id: int) -> None:
+            # reseed numpy/python per worker so augmentations don't repeat
+            # across workers (reference main.py:152-165 worker_init_fn +
+            # PRNGMixin base.py:1096-1107)
+            seed = (self.seed + self.epoch * 1000 + worker_id) % (2**31)
+            np.random.seed(seed)
+            random.seed(seed)
+
         loader = tud.DataLoader(
             _Wrap(self.dataset), batch_size=self.batch_size,
             shuffle=self.shuffle, num_workers=self.num_workers,
             drop_last=self.drop_last, collate_fn=dict_collation_fn,
-            persistent_workers=False)
+            worker_init_fn=_worker_init, persistent_workers=False)
         return iter(loader)

@@ -110,6 +110,46 @@ class ImageNetValidation(ImageNetBase):
     split = "val"
 
 
+class BigGANImageNetBase(ImageNetBase):
+    """BigGAN-style preprocessing variant (reference imagenet.py:310-382):
+    center-crop the largest square FIRST, then resize — preserves
+    composition instead of smallest-max-size scaling."""
+
+    def __getitem__(self, i: int):
+        from PIL import Image as _Image
+
+        idx = int(self.indices[i])
+        rel = self.rel_paths[idx]
+        img = _Image.open(os.path.join(self.root, rel)).convert("RGB")
+        arr = np.asarray(img, dtype=np.uint8)
+        h, w = arr.shape[:2]
+        side = min(h, w)
+        y, x = (h - side) // 2, (w - side) // 2
+        arr = arr[y:y + side, x:x + side]
+        arr = np.asarray(
+            _Image.fromarray(arr).resize((self.size, self.size),
+                                         _Image.BICUBIC))
+        out = {
+            "image": (arr.astype(np.float32) / 127.5) - 1.0,
+            "file_path_": rel,
+            "class_label": int(self.class_labels[idx]),
+            "synset": self.synsets[idx],
+            "human_label": self.human_labels[self.synsets[idx]],
+        }
+        if self.clip_embeddings is not None:
+            out["clip_img_emb"] = np.asarray(
+                self.clip_embeddings[idx], dtype=np.float32)
+        return out
+
+
+class BigGANImageNetTrain(BigGANImageNetBase):
+    split = "train"
+
+
+class BigGANImageNetValidation(BigGANImageNetBase):
+    split = "val"
+
+
 # class-range presets used by the RARM configs
 # (/root/reference/models/rarm/imagenet/*/config.yaml label ranges)
 IMAGENET_DOGS = (151, 268)

@@ -253,6 +253,65 @@ class RARM(nn.Module):
                       "ppl": jnp.exp(loss)}
 
 
+class SimpleTransformer(nn.Module):
+    """Plain pre-LN encoder over continuous sequences — the reference's
+    SimpleTransformer (attention.py:275-345): LayerNorm → 1x1 proj →
+    blocks (optional cross-attention) → 1x1 proj out, optional residual."""
+
+    inner_dim: int
+    heads: int
+    head_dim: int
+    depth: int = 1
+    out_channels: Optional[int] = None
+    residual: bool = False
+    cross_attend: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None):
+        from rdm_tpu.models.layers import TransformerBlock
+
+        in_ch = x.shape[-1]
+        h = LayerNormF32(name="norm")(x)
+        h = nn.Dense(self.inner_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj_in")(h)
+        for d in range(self.depth):
+            h = TransformerBlock(
+                heads=self.heads, head_dim=self.head_dim,
+                has_cross=self.cross_attend and context is not None,
+                dtype=self.dtype, name=f"block_{d}")(h, context)
+        h = nn.Dense(self.out_channels or in_ch, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="proj_out")(h)
+        return x + h if self.residual else h
+
+
+class TokenSequenceTransformer(nn.Module):
+    """RetrievalTemporalTokenTransformerWrapper equivalent
+    (attention.py:347-359): token grids [B, n, s] are embedded, each
+    group's s embeddings concatenated into one feature vector, then run
+    through a SimpleTransformer trunk."""
+
+    vocab_size: int
+    embed_dim: int
+    inner_dim: int
+    heads: int
+    head_dim: int
+    depth: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, context=None):
+        b, n, s = tokens.shape
+        emb = nn.Embed(self.vocab_size, self.embed_dim,
+                       param_dtype=jnp.float32,
+                       name="tok_emb")(tokens.reshape(b, n * s))
+        x = emb.reshape(b, n, s * self.embed_dim).astype(self.dtype)
+        return SimpleTransformer(
+            inner_dim=self.inner_dim, heads=self.heads,
+            head_dim=self.head_dim, depth=self.depth, dtype=self.dtype,
+            cross_attend=context is not None, name="trunk")(x, context)
+
+
 def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
     """Keep top-k logits, set the rest to -inf (transformer.py top_k_logits
     semantics)."""

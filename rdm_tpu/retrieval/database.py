@@ -155,6 +155,30 @@ class NNMemory:
         return rng.choice(pool, size=n, p=p)
 
     @classmethod
+    def build_from_queries(cls, engine, query_embeddings: np.ndarray,
+                           k: int = 20, batch_size: int = 256,
+                           top_m: Optional[int] = None,
+                           max_retries: int = 3) -> "NNMemory":
+        """Build the memory by searching a query set against an engine —
+        the NNMemoryDataset job (reference base.py:43-104), with the
+        retry-on-bad-batch loop collapsed to a skip."""
+        all_ids = []
+        n = len(query_embeddings)
+        for start in range(0, n, batch_size):
+            chunk = np.asarray(query_embeddings[start:start + batch_size],
+                               dtype=np.float32)
+            for attempt in range(max_retries):
+                try:
+                    out = engine.search(chunk, k=k,
+                                        gather_embeddings=False)
+                    all_ids.append(np.asarray(out["nns"]))
+                    break
+                except Exception:
+                    if attempt == max_retries - 1:
+                        print(f"skipping bad query batch at {start}")
+        return cls.build(np.concatenate(all_ids, axis=0), top_m=top_m)
+
+    @classmethod
     def build(cls, neighbor_ids: np.ndarray, top_m: Optional[int] = None
               ) -> "NNMemory":
         """Construct from a [num_queries, k] (or flat) array of retrieved

@@ -162,3 +162,13 @@ def test_video_builder(tmp_path):
     assert pool.embeddings.shape == (6, 8)
     assert builder.frame_ranges.shape == (6, 2)
     assert os.path.isfile(tmp_path / "vdb" / "frame_ranges.npy")
+
+
+def test_biggan_imagenet_variant(imagenet_root):
+    from rdm_tpu.data.imagenet import BigGANImageNetTrain
+
+    ds = BigGANImageNetTrain(imagenet_root, size=32)
+    s = ds[0]
+    assert s["image"].shape == (32, 32, 3)
+    assert -1.0 <= s["image"].min() and s["image"].max() <= 1.0
+    assert s["class_label"] == 0

@@ -130,3 +130,24 @@ def test_top_k_filter():
     out = np.asarray(top_k_filter(logits, 2))
     assert np.isneginf(out[0, 0]) and np.isneginf(out[0, 3])
     assert out[0, 1] == 5.0 and out[0, 2] == 3.0
+
+
+def test_simple_and_token_sequence_transformers():
+    from rdm_tpu.models.rarm import SimpleTransformer, \
+        TokenSequenceTransformer
+
+    st = SimpleTransformer(inner_dim=16, heads=2, head_dim=8, depth=1,
+                           residual=True)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 5, 16)),
+                    dtype=jnp.float32)
+    params = st.init(jax.random.PRNGKey(0), x)
+    out = st.apply(params, x)
+    assert out.shape == (2, 5, 16)
+
+    tst = TokenSequenceTransformer(vocab_size=10, embed_dim=4,
+                                   inner_dim=16, heads=2, head_dim=8)
+    toks = jnp.asarray(np.random.default_rng(1).integers(0, 10, (2, 3, 4)),
+                       dtype=jnp.int32)
+    p2 = tst.init(jax.random.PRNGKey(1), toks)
+    out2 = tst.apply(p2, toks)
+    assert out2.shape == (2, 3, 16)
