@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""RARM decode throughput: flagship transformer (depth 18, width 768,
+256 tokens) with the KV-cached scan, vs the reference's full-prefix
+re-forward cost model (transformer.py:241-268 recomputes every position
+every step — ~129x the attention/MLP positions of a cached decode).
+
+    python scripts/bench_rarm.py [--batch 16] [--cfg]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_cache = os.environ.get("JAX_COMPILE_CACHE_DIR", "/tmp/rdm_tpu_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--k_nn", type=int, default=4)
+    p.add_argument("--cfg", action="store_true",
+                   help="guidance 2.0 (doubles the decode batch)")
+    opt = p.parse_args()
+
+    from rdm_tpu.models.rarm import RARM, RARMConfig, sample_tokens
+    from rdm_tpu.pipeline import cast_params_for_inference
+
+    cfg = RARMConfig.imagenet_dogs()
+    model = RARM(cfg, dtype=jnp.bfloat16)
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 4), jnp.int32),
+        jnp.zeros((1, opt.k_nn, cfg.context_dim)))
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            ((rng.random(s.shape, dtype=np.float32) - 0.5) * 0.05
+             if s.ndim >= 2 else np.zeros(s.shape, np.float32)),
+            dtype=s.dtype), shapes)
+    params = cast_params_for_inference(params)
+
+    neighbors = jnp.asarray(
+        rng.random((opt.batch, opt.k_nn, cfg.context_dim),
+                   dtype=np.float32))
+    guidance = 2.0 if opt.cfg else 1.0
+
+    fn = jax.jit(lambda p, n, r: sample_tokens(
+        model, p, n, r, guidance_scale=guidance))
+    print("compiling decode loop...", flush=True)
+    t0 = time.perf_counter()
+    toks = fn(params, neighbors, jax.random.PRNGKey(1))
+    jax.block_until_ready(toks)
+    print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
+
+    runs = 3
+    t0 = time.perf_counter()
+    for i in range(runs):
+        toks = fn(params, neighbors, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(toks)
+    dt = time.perf_counter() - t0
+    imgs_per_sec = opt.batch * runs / dt
+    tok_per_sec = imgs_per_sec * cfg.seq_len
+    print(json.dumps({
+        "metric": "rarm_ar256_images_per_sec_per_chip",
+        "value": round(imgs_per_sec, 3),
+        "unit": "images/sec",
+        "tokens_per_sec": round(tok_per_sec, 1),
+        "batch": opt.batch,
+        "cfg": opt.cfg,
+    }))
+
+
+if __name__ == "__main__":
+    main()

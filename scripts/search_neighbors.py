@@ -101,7 +101,7 @@ def main():
     os.makedirs(opt.out, exist_ok=True)
     from rdm_tpu.data.base import ImagePaths, PatcherDataset
     from rdm_tpu.retrieval.builder import DatasetBuilder
-    from rdm_tpu.retrieval.database import DataPool, NNMemory
+    from rdm_tpu.retrieval.database import NNMemory
 
     embed_img, embed_txt = make_embedder(opt)
 
