@@ -142,12 +142,15 @@ def main():
     jax.block_until_ready(img)
     print(f"compile+warmup done in {_t.perf_counter()-_c0:.1f}s", flush=True)
 
+    # a tiny device->host copy per run forces a true sync
+    # (block_until_ready has been observed to return early through the
+    # remote-dispatch tunnel)
     runs = 3
     start = time.perf_counter()
     for i in range(runs):
         img = pipeline(params, vq_params, db_norm, q,
                        jax.random.PRNGKey(3 + i))
-    jax.block_until_ready(img)
+        np.asarray(img[0, 0, 0])
     elapsed = time.perf_counter() - start
     imgs_per_sec = BATCH * runs / elapsed
 

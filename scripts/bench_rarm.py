@@ -61,15 +61,15 @@ def main():
         model, p, n, r, guidance_scale=guidance))
     print("compiling decode loop...", flush=True)
     t0 = time.perf_counter()
-    toks = fn(params, neighbors, jax.random.PRNGKey(1))
-    jax.block_until_ready(toks)
+    np.asarray(fn(params, neighbors, jax.random.PRNGKey(1)))
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # device->host copy per run forces a true sync: block_until_ready has
+    # been observed to return early through the remote-dispatch tunnel
     runs = 3
     t0 = time.perf_counter()
     for i in range(runs):
-        toks = fn(params, neighbors, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(toks)
+        np.asarray(fn(params, neighbors, jax.random.PRNGKey(2 + i)))
     dt = time.perf_counter() - t0
     imgs_per_sec = opt.batch * runs / dt
     tok_per_sec = imgs_per_sec * cfg.seq_len
