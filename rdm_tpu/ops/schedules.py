@@ -202,7 +202,9 @@ def make_ddim_timesteps(
         ).astype(int)
     else:
         raise ValueError(f"unknown ddim discretization '{method}'")
-    return ddim_timesteps + 1
+    # the reference's +1 shift; clamp covers the degenerate S == T case
+    # (the reference itself would index out of bounds there)
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 @dataclasses.dataclass(frozen=True)

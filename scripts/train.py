@@ -108,8 +108,18 @@ def main():
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
                         num_workers=opt.num_workers, seed=opt.seed)
 
+    import math
+
     n_dev = len(jax.devices())
-    mesh = make_mesh(data=opt.mesh_data or n_dev, db=1)
+    data_axis = opt.mesh_data or n_dev
+    if batch_size % data_axis:
+        data_axis = math.gcd(batch_size, data_axis)
+        print(f"WARNING: batch_size {batch_size} not divisible by "
+              f"{opt.mesh_data or n_dev} devices — using data axis "
+              f"{data_axis} (idle devices: "
+              f"{(opt.mesh_data or n_dev) - data_axis})")
+    mesh = make_mesh(data=data_axis, db=1,
+                     devices=jax.devices()[:data_axis])
 
     # first-stage weights: converted checkpoint beside the config, or
     # random (debug only)
