@@ -59,9 +59,11 @@ class TrainerConfig:
     warm_up_steps: int = 100
     grad_clip: Optional[float] = None
     seed: int = 0
-    monitor: str = "loss_simple"
+    monitor: str = "val/loss_simple_ema"  # reference monitor key
     max_ckpts: int = 3
     use_tensorboard: bool = False  # tf.summary scalars under <logdir>/tb
+    val_every: int = 0  # 0 => validate only at checkpoint saves
+    val_batches: int = 8
 
 
 class RDMTrainer:
@@ -152,8 +154,27 @@ class RDMTrainer:
 
     # ---------- loop ----------
 
+    def validate(self, state: TrainState, val_loader,
+                 max_batches: Optional[int] = None) -> Dict[str, float]:
+        """EMA-weighted validation loss — the reference's monitored
+        val/loss_simple_ema (ldm validation_step + ema_scope)."""
+        max_batches = max_batches or self.tcfg.val_batches
+        losses = []
+        rng = jax.random.PRNGKey(0)  # fixed: comparable across evals
+        for bi, batch in enumerate(val_loader):
+            if bi >= max_batches:
+                break
+            z, nns = self.prepare_batch(batch)
+            _, m = self.model.apply(
+                state.ema.params, z, nns, jax.random.fold_in(rng, bi),
+                self.schedule, method=RDM.training_loss)
+            losses.append(float(np.asarray(m["loss_simple"])))
+        return {"val/loss_simple_ema":
+                float(np.mean(losses)) if losses else float("nan")}
+
     def fit(self, loader: Iterable, state: Optional[TrainState] = None,
-            max_steps: Optional[int] = None) -> TrainState:
+            max_steps: Optional[int] = None,
+            val_loader: Optional[Iterable] = None) -> TrainState:
         state = state if state is not None else self.resume_or_init()
         max_steps = max_steps or self.tcfg.max_steps
         rng = jax.random.PRNGKey(self.tcfg.seed + 1)
@@ -173,6 +194,11 @@ class RDMTrainer:
                     if step % self.tcfg.log_every == 0:
                         self._log(step, metrics, seen, time.time() - t0)
                     if step and step % self.tcfg.ckpt_every == 0:
+                        metrics = dict(metrics)
+                        if val_loader is not None:
+                            val = self.validate(state, val_loader)
+                            metrics.update(val)
+                            self._log(step, val, seen, time.time() - t0)
                         self._save(state, metrics)
                     if (self.tcfg.image_log_every
                             and step % self.tcfg.image_log_every == 0):

@@ -108,6 +108,16 @@ def main():
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
                         num_workers=opt.num_workers, seed=opt.seed)
 
+    val_loader = None
+    val_cfg = data_cfg.get("validation", {}).get("params", {})
+    if val_cfg.get("filelist") and os.path.isfile(val_cfg["filelist"]):
+        with open(val_cfg["filelist"]) as f:
+            vpaths = [l.strip() for l in f if l.strip()]
+        vds = QueryDataset(
+            ImagePaths(vpaths, size=val_cfg.get("size", 256)),
+            nns=val_cfg.get("nns"), k=k_nn, n_patches_per_side=npp)
+        val_loader = DataLoader(vds, batch_size=batch_size, shuffle=False)
+
     import math
 
     n_dev = len(jax.devices())
@@ -150,7 +160,10 @@ def main():
     cls = RARMTrainer if is_rarm else RDMTrainer
     trainer = cls(model_cfg, tcfg, fs_cfg, fs_params, mesh=mesh,
                   batch_size=batch_size)
-    trainer.fit(loader)
+    if is_rarm:
+        trainer.fit(loader)
+    else:
+        trainer.fit(loader, val_loader=val_loader)
 
 
 if __name__ == "__main__":

@@ -125,3 +125,18 @@ def test_rarm_trainer_steps(workspace, tmp_path):
     metrics = [json.loads(l) for l in
                open(os.path.join(tcfg.logdir, "metrics.jsonl"))]
     assert all(np.isfinite(m["loss"]) for m in metrics)
+
+
+def test_validation_loop(workspace):
+    tmp_root, files, nns = workspace
+    ds = QueryDataset(ImagePaths(files, size=32), nns=nns, k=2)
+    loader = DataLoader(ds, batch_size=2)
+    trainer, tcfg = _mk_trainer(tmp_root, "val_run")
+    state = trainer.resume_or_init()
+    val = trainer.validate(state, loader, max_batches=2)
+    assert "val/loss_simple_ema" in val
+    assert np.isfinite(val["val/loss_simple_ema"])
+    # fit with validation wired at checkpoint steps
+    state = trainer.fit(loader, state=state, max_steps=2,
+                        val_loader=loader)
+    assert int(state.step) == 2
