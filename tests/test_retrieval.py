@@ -107,3 +107,30 @@ def test_l2_normalize_handles_zero():
     x = jnp.zeros((2, 4))
     out = l2_normalize(x)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_knn_kernel_matches_oracle():
+    """Pallas streamed top-k (interpret mode) vs the numpy oracle,
+    including cross-block merge and tie-breaking."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rdm_tpu.ops.knn_kernel import knn_search_fused
+
+    rng = np.random.default_rng(7)
+    db = rng.standard_normal((512, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = db[:6]
+    ref = q @ db.T
+    ref_idx = np.argsort(-ref, axis=1, kind="stable")[:, :5]
+    with pltpu.force_tpu_interpret_mode():
+        s, i = knn_search_fused(jnp.asarray(db), jnp.asarray(q), 5,
+                                block_n=128)
+    np.testing.assert_array_equal(np.asarray(i), ref_idx)
+    np.testing.assert_allclose(
+        np.asarray(s), np.take_along_axis(ref, ref_idx, 1), atol=1e-5)
+    # duplicate rows -> ties resolve to lower ids across blocks
+    dup = np.tile(db[:1], (10, 1))
+    with pltpu.force_tpu_interpret_mode():
+        _, ti = knn_search_fused(jnp.asarray(dup), jnp.asarray(dup[:1]),
+                                 4, block_n=4)
+    np.testing.assert_array_equal(np.asarray(ti)[0], [0, 1, 2, 3])
