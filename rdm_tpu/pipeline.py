@@ -158,12 +158,11 @@ class RDMPipeline:
             jax.random.PRNGKey(seed), x, jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, config.k_nn, config.context_dim)))
         fs = VQModel(fs_config)
-        z = jnp.zeros((1, config.image_size, config.image_size,
-                       fs_config.embed_dim))
-        # init through the quantized-decode path so quantize/embedding exists
-        fs_params = jax.jit(lambda r: fs.init(
-            r, z, force_not_quantize=False, method=VQModel.decode))(
-            jax.random.PRNGKey(seed + 1))
+        # full roundtrip init so encoder AND decoder params exist
+        # (inpainting/training encode; sampling decodes)
+        px = config.image_size * fs_config.downsample_factor
+        x_px = jnp.zeros((1, px, px, fs_config.in_channels))
+        fs_params = jax.jit(fs.init)(jax.random.PRNGKey(seed + 1), x_px)
         return params, fs_params
 
     # ---------- conditioning assembly ----------
@@ -230,6 +229,59 @@ class RDMPipeline:
                             **kw) -> Dict[str, Any]:
         q = self.embed_caption(caption, batch_size)
         return self.sample_with_query(q, **kw)
+
+    def sample_inpaint(
+            self, images: np.ndarray, mask: np.ndarray,
+            neighbors: Optional[np.ndarray] = None, *,
+            k_nn: Optional[int] = None, steps: int = 100,
+            guidance_scale: float = 2.0, seed: int = 0) -> Dict[str, Any]:
+        """Inpainting: keep `images` where mask==1, regenerate the rest
+        (the reference's DDIM mask blend, ddim.py:187-190, exposed through
+        log_images' inpainting diagnostics).
+
+        images: [B, H, W, 3] float [-1,1] pixels; mask: [B, h, w, 1] (or
+        broadcastable) in LATENT resolution, 1 = keep. neighbors default to
+        retrieval by the image's own CLIP embedding when available, else
+        must be provided [B, k, D].
+        """
+        from rdm_tpu.sampling import ddim_sample
+
+        cfg = self.config
+        x = jnp.asarray(images, dtype=jnp.float32)
+        z0 = self.first_stage.apply(
+            self.first_stage_params, x,
+            method=VQModel.encode_prequant) * cfg.scale_factor
+        if neighbors is None:
+            if self.clip is None or self.retrieval is None:
+                raise ValueError("provide neighbors, or CLIP weights + a "
+                                 "database for auto-retrieval")
+            from rdm_tpu.models.clip import preprocess
+            emb = np.asarray(self.clip.apply(
+                self.clip_params, preprocess(x),
+                method=CLIP.encode_image))
+            k = k_nn or cfg.k_nn
+            neighbors = self.retrieval.engine.search(
+                jnp.asarray(emb), k=k)["embeddings"]
+        ctx = jnp.asarray(neighbors, dtype=jnp.float32)
+        if ctx.ndim == 4:
+            ctx = ctx.reshape(ctx.shape[0], -1, ctx.shape[-1])
+        sampler = DDIMSamplerConfig(num_steps=steps,
+                                    guidance_scale=guidance_scale)
+        uncond = None
+        if guidance_scale != 1.0:
+            uncond = self.model.apply(
+                self.params, ctx.shape[0], ctx.shape[1], 0.0,
+                method=RDM.uncond_context)
+        m = jnp.broadcast_to(jnp.asarray(mask, dtype=jnp.float32),
+                             z0.shape)
+        z, _ = ddim_sample(
+            lambda xt, t, c: self.model.apply(self.params, xt, t, c),
+            self.schedule, sampler, z0.shape, ctx,
+            jax.random.PRNGKey(seed), uncond_context=uncond,
+            mask=m, x0=z0)
+        images_out = self._decode(self.first_stage_params,
+                                  z / cfg.scale_factor)
+        return {"inpaint_samples": to_uint8(images_out)}
 
     def sample_retro_adaptive(
             self, batch_size: int, *, k_nn: Optional[int] = None,

@@ -148,3 +148,19 @@ def test_rarm_pipeline_unconditional(model_dirs):
     imgs = logs["samples_with_sampled_nns"]
     # 16 tokens -> 4x4 grid -> f4 decode -> 16x16 images
     assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+
+
+def test_rdm_pipeline_inpaint(model_dirs):
+    from rdm_tpu.pipeline import RDMPipeline
+
+    rdm_dir, _, db, mem = model_dirs
+    pipe = RDMPipeline.from_model_dir(rdm_dir, database=db, nn_memory=mem,
+                                      random_init=True)
+    imgs = np.random.default_rng(0).uniform(
+        -1, 1, (2, 16, 16, 3)).astype(np.float32)
+    mask = np.ones((2, 8, 8, 1), dtype=np.float32)  # keep everything
+    nns = np.random.default_rng(1).standard_normal(
+        (2, 3, 24)).astype(np.float32)
+    out = pipe.sample_inpaint(imgs, mask, neighbors=nns, steps=4, seed=0)
+    assert out["inpaint_samples"].shape == (2, 16, 16, 3)
+    assert out["inpaint_samples"].dtype == np.uint8
