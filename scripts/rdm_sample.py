@@ -47,6 +47,8 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("-c", "--caption", type=str, default="")
     p.add_argument("--only_caption", action="store_true")
     p.add_argument("--omit_query", action="store_true")
+    p.add_argument("--unconditional", action="store_true",
+                   help="sample the CFG null branch (zero-vector context)")
     p.add_argument("--use_weights", action="store_true")
     p.add_argument("--random_init", action="store_true",
                    help="random weights (no checkpoint) — smoke testing")
@@ -88,10 +90,17 @@ def main() -> None:
     query = None
     if opt.caption:
         query = pipe.embed_caption(opt.caption, opt.batch_size)
+    elif opt.unconditional:
+        query = np.zeros((opt.batch_size, pipe.config.context_dim),
+                         dtype=np.float32)
 
     for n in range(opt.n_runs):
         seed = opt.seed if opt.seed is not None else n
-        if query is None:
+        if opt.unconditional:
+            logs = pipe.sample_with_query(
+                query, steps=opt.steps, guidance_scale=1.0,
+                only_query=True, seed=seed)
+        elif query is None:
             logs = pipe.sample_unconditional(
                 opt.batch_size, k_nn=opt.k_nn, steps=opt.steps,
                 guidance_scale=guidance, memsize=opt.top_m,
@@ -103,6 +112,10 @@ def main() -> None:
                 steps=opt.steps, guidance_scale=guidance,
                 omit_query=opt.omit_query and not opt.only_caption,
                 only_query=opt.only_caption, seed=seed)
+        if opt.save_nns and "nn_embeddings" in logs:
+            np.savez(os.path.join(
+                opt.savepath, f"{stamp}-nns-run{n}.npz"),
+                embeddings=logs["nn_embeddings"], ids=logs["nn_ids"])
         save_batch(logs, opt.savepath, stamp, n)
         print(f"run {n + 1}/{opt.n_runs} done (guidance={guidance})")
         if opt.increase_guidance:
