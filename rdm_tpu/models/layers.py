@@ -21,6 +21,7 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from rdm_tpu.ops.attention import dot_product_attention
@@ -30,8 +31,56 @@ Dtype = Any
 zeros_init = nn.initializers.zeros
 
 
+class _RawGroupNorm(nn.Module):
+    """bf16-native GroupNorm: statistics accumulate in float32 (converts
+    fused into the reduction — nothing f32 is materialized), normalization
+    arithmetic runs in the input dtype.
+
+    Motivation (v5e device trace of the flagship U-Net forward): the
+    cast-to-f32 GroupNorm path was 33% of device time (convert_reduce
+    fusions) while the convolutions were ~15% — norm memory traffic, not
+    MXU work, dominated. Single-pass E[x²]−E[x]² stats halve the reads.
+
+    Named "GroupNorm_0" by the wrapper so converted checkpoints keep the
+    flax param path norm*/GroupNorm_0/{scale,bias}.
+    """
+
+    num_groups: int
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        g = self.num_groups
+        cpg = c // g
+        b = x.shape[0]
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        # lane-preserving: reduce spatial axes per channel (C stays the
+        # 128-lane dim), then aggregate the tiny [B, C] sums into groups —
+        # never reshape the big tensor into (g, C/g)
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        n_elems = cpg * int(np.prod([x.shape[a] for a in spatial_axes]))
+        xf = x.astype(jnp.float32)
+        s = jnp.sum(xf, axis=spatial_axes)  # [B, C] f32
+        s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)
+        sg = s.reshape(b, g, cpg).sum(-1) / n_elems  # [B, g] group mean
+        s2g = s2.reshape(b, g, cpg).sum(-1) / n_elems
+        var = jnp.maximum(s2g - jnp.square(sg), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        # expand group stats back to per-channel vectors [B, C]
+        mean_c = jnp.repeat(sg, cpg, axis=1)
+        inv_c = jnp.repeat(inv, cpg, axis=1)
+        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
+        eff_scale = (inv_c[..., :] * scale[None]).reshape(bshape)
+        eff_bias = (bias[None] - mean_c * inv_c * scale[None]).reshape(
+            bshape)
+        return x * eff_scale.astype(x.dtype) + eff_bias.astype(x.dtype)
+
+
 class GroupNorm32(nn.Module):
-    """GroupNorm computed in float32, output cast back to input dtype.
+    """GroupNorm with f32 statistics and dtype-native arithmetic.
 
     Uses gcd(num_groups, channels) groups so tiny test configs are valid;
     production channel counts are multiples of 32, giving exactly 32 groups.
@@ -42,15 +91,9 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
         groups = math.gcd(self.num_groups, x.shape[-1])
-        x = nn.GroupNorm(
-            num_groups=groups,
-            epsilon=self.epsilon,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return x.astype(orig_dtype)
+        return _RawGroupNorm(num_groups=groups, epsilon=self.epsilon,
+                             name="GroupNorm_0")(x)
 
 
 class LayerNormF32(nn.Module):
