@@ -68,6 +68,24 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
         params)
 
 
+def _load_clip_weights(clip_ckpt):
+    """CLIP weights from a pre-converted npz (torch-free) or an OpenAI
+    torch checkpoint. Returns (params, config) or (None, None)."""
+    if not clip_ckpt or not os.path.isfile(clip_ckpt):
+        return None, None
+    if clip_ckpt.endswith(".npz"):
+        from rdm_tpu.models.clip import ClipConfig
+        from rdm_tpu.utils.params_io import load_params_npz
+
+        return load_params_npz(clip_ckpt), ClipConfig.vit_b32()
+    from rdm_tpu.utils.torch_convert import (
+        convert_clip,
+        load_torch_state_dict,
+    )
+
+    return convert_clip(load_torch_state_dict(clip_ckpt))
+
+
 @dataclasses.dataclass
 class _Retrieval:
     engine: RetrievalEngine
@@ -127,9 +145,18 @@ class RDMPipeline:
         cfg_yaml = load_config([os.path.join(model_dir, "config.yaml")])
         config = model_config_from_yaml(cfg_yaml)
         fs_config = first_stage_config_from_yaml(cfg_yaml)
+        params = fs_params = None
+        npz = os.path.join(model_dir, "params.npz")
+        fs_npz = os.path.join(model_dir, "first_stage_params.npz")
         ckpt = os.path.join(model_dir, "model.ckpt")
         clip_params = clip_config = None
-        if os.path.isfile(ckpt) and not random_init:
+        if (os.path.isfile(npz) and os.path.isfile(fs_npz)
+                and not random_init):
+            # torch-free path: pre-converted via scripts/convert_checkpoint
+            from rdm_tpu.utils.params_io import load_params_npz
+            params = load_params_npz(npz)
+            fs_params = load_params_npz(fs_npz)
+        elif os.path.isfile(ckpt) and not random_init:
             from rdm_tpu.utils.torch_convert import (
                 convert_rdm, load_torch_state_dict)
             sd = load_torch_state_dict(ckpt)
@@ -137,11 +164,7 @@ class RDMPipeline:
                                             use_ema=True)
         else:
             params, fs_params = cls._random_params(config, fs_config, seed)
-        if clip_ckpt and os.path.isfile(clip_ckpt):
-            from rdm_tpu.utils.torch_convert import (
-                convert_clip, load_torch_state_dict)
-            clip_params, clip_config = convert_clip(
-                load_torch_state_dict(clip_ckpt))
+        clip_params, clip_config = _load_clip_weights(clip_ckpt)
         pool = DataPool.load(database) if database else None
         memory = NNMemory.load(nn_memory) if nn_memory else None
         return cls(config, params, fs_config, fs_params, pool=pool,
@@ -386,20 +409,22 @@ class RARMPipeline:
         cfg_yaml = load_config([os.path.join(model_dir, "config.yaml")])
         config = model_config_from_yaml(cfg_yaml)
         fs_config = first_stage_config_from_yaml(cfg_yaml)
+        npz = os.path.join(model_dir, "params.npz")
+        fs_npz = os.path.join(model_dir, "first_stage_params.npz")
         ckpt = os.path.join(model_dir, "model.ckpt")
-        clip_params = clip_config = None
-        if os.path.isfile(ckpt) and not random_init:
+        if (os.path.isfile(npz) and os.path.isfile(fs_npz)
+                and not random_init):
+            from rdm_tpu.utils.params_io import load_params_npz
+            params = load_params_npz(npz)
+            fs_params = load_params_npz(fs_npz)
+        elif os.path.isfile(ckpt) and not random_init:
             from rdm_tpu.utils.torch_convert import (
                 convert_rarm, load_torch_state_dict)
             sd = load_torch_state_dict(ckpt)
             params, fs_params = convert_rarm(sd, config, fs_config)
         else:
             params, fs_params = cls._random_params(config, fs_config, seed)
-        if clip_ckpt and os.path.isfile(clip_ckpt):
-            from rdm_tpu.utils.torch_convert import (
-                convert_clip, load_torch_state_dict)
-            clip_params, clip_config = convert_clip(
-                load_torch_state_dict(clip_ckpt))
+        clip_params, clip_config = _load_clip_weights(clip_ckpt)
         pool = DataPool.load(database) if database else None
         memory = NNMemory.load(nn_memory) if nn_memory else None
         return cls(config, params, fs_config, fs_params, pool=pool,

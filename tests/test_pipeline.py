@@ -164,3 +164,32 @@ def test_rdm_pipeline_inpaint(model_dirs):
     out = pipe.sample_inpaint(imgs, mask, neighbors=nns, steps=4, seed=0)
     assert out["inpaint_samples"].shape == (2, 16, 16, 3)
     assert out["inpaint_samples"].dtype == np.uint8
+
+
+def test_params_npz_roundtrip_and_pipeline_load(model_dirs, tmp_path):
+    """save_params_npz/load_params_npz roundtrip + from_model_dir's
+    torch-free npz loading path."""
+    import jax
+
+    from rdm_tpu.pipeline import RDMPipeline
+    from rdm_tpu.utils.params_io import load_params_npz, save_params_npz
+
+    rdm_dir, _, db, mem = model_dirs
+    pipe = RDMPipeline.from_model_dir(rdm_dir, database=db, nn_memory=mem,
+                                      random_init=True, seed=3)
+    # persist the (random) params as npz and reload through the pipeline
+    save_params_npz(os.path.join(rdm_dir, "params.npz"),
+                    jax.device_get(pipe.params))
+    save_params_npz(os.path.join(rdm_dir, "first_stage_params.npz"),
+                    jax.device_get(pipe.first_stage_params))
+    pipe2 = RDMPipeline.from_model_dir(rdm_dir, database=db,
+                                       nn_memory=mem)
+    a = pipe.sample_unconditional(1, steps=2, guidance_scale=1.0, seed=0)
+    b = pipe2.sample_unconditional(1, steps=2, guidance_scale=1.0, seed=0)
+    np.testing.assert_array_equal(a["samples_with_sampled_nns"],
+                                  b["samples_with_sampled_nns"])
+    # direct roundtrip equality
+    loaded = load_params_npz(os.path.join(rdm_dir, "params.npz"))
+    l0 = jax.tree.leaves(loaded)[0]
+    p0 = jax.tree.leaves(jax.device_get(pipe.params))[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(p0))
