@@ -96,22 +96,44 @@ class GroupNorm32(nn.Module):
                              name="GroupNorm_0")(x)
 
 
-class LayerNormF32(nn.Module):
-    """LayerNorm computed in float32."""
+class _RawLayerNorm(nn.Module):
+    """bf16-native LayerNorm: f32 statistics via reduction-fused converts,
+    single fused x*eff_scale+eff_bias pass in the input dtype (same
+    trace-driven rationale as _RawGroupNorm)."""
 
     epsilon: float = 1e-5
     use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
-        orig_dtype = x.dtype
-        x = nn.LayerNorm(
-            epsilon=self.epsilon,
-            use_bias=self.use_bias,
-            dtype=jnp.float32,
-            param_dtype=jnp.float32,
-        )(x.astype(jnp.float32))
-        return x.astype(orig_dtype)
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,),
+                           jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (c,),
+                           jnp.float32) if self.use_bias else None)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        mean2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        # per-row stats stay tiny [..., 1]; arithmetic in input dtype
+        y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+        y = y * scale.astype(x.dtype)
+        if bias is not None:
+            y = y + bias.astype(x.dtype)
+        return y
+
+
+class LayerNormF32(nn.Module):
+    """LayerNorm with f32 statistics and dtype-native arithmetic."""
+
+    epsilon: float = 1e-5
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        return _RawLayerNorm(epsilon=self.epsilon, use_bias=self.use_bias,
+                             name="LayerNorm_0")(x)
 
 
 def conv(features: int, kernel: int, dtype: Dtype, *, stride: int = 1,

@@ -44,12 +44,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     k = k_ref[0, 0, :, :]  # [Sk, D]
     v = v_ref[0, 0, :, :]  # [Sk, D]
 
+    # fold the attention scale and the exp->exp2 change of base into the
+    # QK product: softmax(s*scale) == exp2((s*scale*log2e) - m2)/sum(...)
     scores = jax.lax.dot_general(
         q, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BQ, Sk]
-    scores = scores * scale
+    scores = scores * (scale * 1.4426950408889634)  # log2(e)
 
     if causal:
         i = pl.program_id(2)
@@ -58,17 +60,19 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
         k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, sk), 1)
         scores = jnp.where(k_pos <= q_pos, scores, _NEG_INF)
 
-    # numerically stable softmax in fp32 on the VPU
+    # numerically stable softmax on the VPU: exp2 (native) instead of exp,
+    # and the 1/denom applied AFTER the PV matmul ([BQ, D] instead of
+    # [BQ, Sk] divisions — Sk/D x less VPU work)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
+    p = jnp.exp2(scores - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
 
     out = jax.lax.dot_general(
         p.astype(v.dtype), v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [BQ, D]
+    out = out * pl.reciprocal(denom, approx=False)
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
