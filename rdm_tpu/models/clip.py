@@ -20,7 +20,7 @@ Design notes:
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,9 @@ class ClipConfig:
     transformer_width: int = 512
     transformer_layers: int = 12
     head_dim: int = 64  # OpenAI convention: heads = width / 64
+    # RN50-style tower instead of the ViT (reference clip.py:20-23 ships
+    # both ViT-B/32 and RN50): vision_layers becomes the stage depths
+    resnet_layers: Optional[Tuple[int, ...]] = None  # e.g. (3, 4, 6, 3)
 
     @property
     def vision_heads(self) -> int:
@@ -170,6 +173,107 @@ class TextTransformer(nn.Module):
         return (x @ proj.astype(x.dtype)).astype(jnp.float32)
 
 
+class Bottleneck(nn.Module):
+    """CLIP ModifiedResNet bottleneck: 1x1 → 3x3 → (avgpool if stride>1)
+    → 1x1(4x), with an avgpool+1x1 downsample shortcut (anti-aliased —
+    reference custom_clip/model.py:9-50 semantics)."""
+
+    planes: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        inp = x.shape[-1]
+        out_ch = self.planes * 4
+        conv = lambda f, k, name: nn.Conv(
+            f, (k, k), padding="SAME", use_bias=False, dtype=self.dtype,
+            param_dtype=jnp.float32, name=name)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=True, dtype=jnp.float32,
+            param_dtype=jnp.float32, name=name)
+        h = nn.relu(bn("bn1")(conv(self.planes, 1, "conv1")(x)))
+        h = nn.relu(bn("bn2")(conv(self.planes, 3, "conv2")(h)))
+        if self.stride > 1:
+            h = nn.avg_pool(h, (self.stride, self.stride),
+                            strides=(self.stride, self.stride))
+        h = bn("bn3")(conv(out_ch, 1, "conv3")(h))
+        if self.stride > 1 or inp != out_ch:
+            sc = x
+            if self.stride > 1:
+                sc = nn.avg_pool(sc, (self.stride, self.stride),
+                                 strides=(self.stride, self.stride))
+            sc = bn("downsample_bn")(conv(out_ch, 1, "downsample_conv")(sc))
+        else:
+            sc = x
+        return nn.relu(h + sc)
+
+
+class AttentionPool2d(nn.Module):
+    """Mean-token query attention pool (reference model.py:52-79)."""
+
+    heads: int
+    out_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        mean = jnp.mean(tokens, axis=1, keepdims=True)
+        tokens = jnp.concatenate([mean, tokens], axis=1)
+        pos = self.param("positional_embedding",
+                         nn.initializers.normal(c ** -0.5),
+                         (h * w + 1, c), jnp.float32)
+        tokens = tokens + pos.astype(tokens.dtype)
+        dense = lambda f, name: nn.Dense(f, dtype=self.dtype,
+                                         param_dtype=jnp.float32, name=name)
+        q = dense(c, "q_proj")(tokens[:, :1])
+        k = dense(c, "k_proj")(tokens)
+        v = dense(c, "v_proj")(tokens)
+        hd = c // self.heads
+        q = q.reshape(b, 1, self.heads, hd)
+        k = k.reshape(b, -1, self.heads, hd)
+        v = v.reshape(b, -1, self.heads, hd)
+        out = dot_product_attention(q, k, v).reshape(b, c)
+        return dense(self.out_dim, "c_proj")(out).astype(jnp.float32)
+
+
+class ModifiedResNet(nn.Module):
+    """CLIP's RN50-style image tower (reference model.py:82-149): 3-conv
+    stem with avgpool, 4 bottleneck stages, attention pooling."""
+
+    layers: Tuple[int, ...] = (3, 4, 6, 3)
+    width: int = 64
+    heads: int = 32
+    out_dim: int = 1024
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.width
+        conv = lambda f, k, s, name: nn.Conv(
+            f, (k, k), strides=(s, s), padding="SAME", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name=name)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=True, dtype=jnp.float32,
+            param_dtype=jnp.float32, name=name)
+        x = x.astype(self.dtype)
+        x = nn.relu(bn("bn1")(conv(w // 2, 3, 2, "conv1")(x)))
+        x = nn.relu(bn("bn2")(conv(w // 2, 3, 1, "conv2")(x)))
+        x = nn.relu(bn("bn3")(conv(w, 3, 1, "conv3")(x)))
+        x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        planes = w
+        for stage, blocks in enumerate(self.layers):
+            for blk in range(blocks):
+                stride = 2 if (blk == 0 and stage > 0) else 1
+                x = Bottleneck(planes, stride=stride, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{blk}")(x)
+            planes *= 2
+        return AttentionPool2d(self.heads, self.out_dim, self.dtype,
+                               name="attnpool")(x)
+
+
 class CLIP(nn.Module):
     """Both towers + logit scale. encode_image / encode_text return
     *unnormalized* 512-d embeddings (reference model.py:304-320); retrieval
@@ -179,7 +283,14 @@ class CLIP(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.visual = VisionTransformer(self.config, self.dtype)
+        if self.config.resnet_layers is not None:
+            self.visual = ModifiedResNet(
+                layers=self.config.resnet_layers,
+                width=self.config.vision_width,
+                heads=self.config.vision_width // 2,
+                out_dim=self.config.embed_dim, dtype=self.dtype)
+        else:
+            self.visual = VisionTransformer(self.config, self.dtype)
         self.text = TextTransformer(self.config, self.dtype)
         self.logit_scale = self.param(
             "logit_scale", lambda k: jnp.asarray(np.log(1.0 / 0.07),

@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Training-step throughput for the flagship RDM (395M-param U-Net).
+
+Measures samples/sec of the full jitted train step (fwd + bwd + AdamW +
+EMA) at the released operating point (64x64x3 latents, k=4 neighbors).
+
+    python scripts/bench_train.py [--batch 16] [--remat]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_cache = os.environ.get("JAX_COMPILE_CACHE_DIR", "/tmp/rdm_tpu_jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--remat", action="store_true", default=True)
+    p.add_argument("--no-remat", dest="remat", action="store_false")
+    p.add_argument("--iters", type=int, default=10)
+    opt = p.parse_args()
+
+    from rdm_tpu.models.rdm import RDM, RDMConfig
+    from rdm_tpu.ops.schedules import DiffusionSchedule
+    from rdm_tpu.training.optim import make_optimizer
+    from rdm_tpu.training.train_state import (
+        init_train_state,
+        make_train_step,
+    )
+
+    cfg = RDMConfig.imagenet()
+    model = RDM(cfg, dtype=jnp.bfloat16)
+    B = opt.batch
+    x = jnp.zeros((1, 64, 64, 3))
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0), x,
+        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4, 512)))
+    rng = np.random.default_rng(0)
+    params = jax.tree.map(
+        lambda s: jnp.asarray(
+            ((rng.random(s.shape, dtype=np.float32) - 0.5) * 0.05
+             if s.ndim >= 2 else np.zeros(s.shape, np.float32)),
+            dtype=s.dtype), shapes)
+
+    schedule = DiffusionSchedule.create(
+        cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
+    tx = make_optimizer(1e-4, warm_up_steps=100)
+    state = init_train_state(params, tx)
+    step = make_train_step(model, tx, schedule, remat=opt.remat)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 3))
+    nns = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 4, 512))
+    key = jax.random.PRNGKey(3)
+
+    print("compiling train step...", flush=True)
+    t0 = time.perf_counter()
+    state, metrics = step(state, z, nns, key)
+    np.asarray(metrics["loss"])
+    print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
+
+    t0 = time.perf_counter()
+    for _ in range(opt.iters):
+        state, metrics = step(state, z, nns, key)
+        np.asarray(metrics["loss"])  # forced sync per step
+    dt = (time.perf_counter() - t0) / opt.iters
+    print(json.dumps({
+        "metric": "rdm_train_samples_per_sec_per_chip",
+        "value": round(B / dt, 3),
+        "unit": "samples/sec",
+        "step_ms": round(dt * 1e3, 2),
+        "batch": B,
+        "remat": opt.remat,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -73,3 +73,24 @@ def test_preprocess_range_and_shape():
     expected = (0.5 - np.array([0.48145466, 0.4578275, 0.40821073])) / np.array(
         [0.26862954, 0.26130258, 0.27577711])
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]), expected, atol=1e-5)
+
+
+def test_modified_resnet_tower():
+    from rdm_tpu.models.clip import CLIP, ClipConfig, ModifiedResNet
+
+    rn = ModifiedResNet(layers=(1, 1), width=16, heads=8, out_dim=12)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = rn.init(jax.random.PRNGKey(0), x)
+    out = rn.apply(params, x)
+    assert out.shape == (2, 12)
+    assert np.isfinite(np.asarray(out)).all()
+    # full CLIP with the resnet tower selected
+    cfg = ClipConfig(embed_dim=12, image_resolution=32, vision_width=16,
+                     context_length=8, vocab_size=64, transformer_width=32,
+                     transformer_layers=1, head_dim=16,
+                     resnet_layers=(1, 1))
+    model = CLIP(cfg)
+    toks = jnp.zeros((2, 8), dtype=jnp.int32)
+    p = model.init(jax.random.PRNGKey(1), x, toks)
+    emb = model.apply(p, x, method=CLIP.encode_image)
+    assert emb.shape == (2, 12)
