@@ -133,8 +133,10 @@ class _Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        from rdm_tpu.models.layers import _resize_nearest
+
+        c = x.shape[-1]
+        x = _resize_nearest(x, 2)
         return _conv(c, 3, self.dtype, name="conv")(x)
 
 
