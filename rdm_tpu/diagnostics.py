@@ -107,3 +107,79 @@ def log_images(
                for i in range(interm.shape[0])]
         out["denoise_row"] = make_grid(np.stack(row), len(row))
     return out
+
+
+def log_images_rarm(
+    model,
+    params,
+    first_stage,
+    first_stage_params,
+    batch: Dict[str, Any],
+    rng: jax.Array,
+    *,
+    n_row: int = 4,
+    max_images: int = 4,
+    top_k: int = 256,
+) -> Dict[str, np.ndarray]:
+    """RARM visual diagnostics — the reference's full/half/reconstruction
+    grids (transformer.py:422-519): inputs, first-stage reconstruction,
+    full samples from scratch, and half samples (the top half of the
+    ground-truth token grid kept, bottom half regenerated).
+    """
+    from rdm_tpu.models.autoencoder import VQModel
+    from rdm_tpu.models.rarm import RARM, sample_tokens, top_k_filter
+
+    cfg = model.config
+    images = jnp.asarray(batch["image"][:max_images], dtype=jnp.float32)
+    nns = jnp.asarray(batch["nn_embeddings"][:max_images],
+                      dtype=jnp.float32)
+    b = images.shape[0]
+    if nns.ndim == 4:
+        nns = nns.reshape(b, -1, nns.shape[-1])
+    out: Dict[str, np.ndarray] = {}
+    out["inputs"] = make_grid(to_uint8(images), n_row)
+
+    _, _, idx = first_stage.apply(first_stage_params, images,
+                                  method=VQModel.encode)
+    side = cfg.code_side
+    decode_code = lambda grid: first_stage.apply(
+        first_stage_params, grid, method=VQModel.decode_code)
+    out["reconstruction"] = make_grid(to_uint8(decode_code(idx)), n_row)
+
+    rng, r1, r2 = jax.random.split(rng, 3)
+    full = sample_tokens(model, params, nns, r1, top_k=top_k)
+    out["samples_full"] = make_grid(
+        to_uint8(decode_code(full.reshape(b, side, side))), n_row)
+
+    # half sampling: keep the first half of the true tokens, regenerate
+    # the rest with teacher-forced prefix
+    flat = idx.reshape(b, -1)
+    keep = cfg.seq_len // 2
+    toks = flat[:, :keep]
+    cache = model.apply(params, b, nns, method=RARM.init_cache)
+    prefix = jnp.concatenate(
+        [jnp.full((b, 1), cfg.sos_token, dtype=jnp.int32),
+         toks.astype(jnp.int32)], axis=1)
+    logits = None
+    for pos in range(prefix.shape[1]):
+        logits, cache = model.apply(params, prefix[:, pos],
+                                    jnp.int32(pos), cache,
+                                    method=RARM.decode_step)
+    gen = [toks.astype(jnp.int32)]
+    cur = jax.random.categorical(
+        r2, top_k_filter(logits, min(top_k, cfg.out_vocab))).astype(
+        jnp.int32)
+    for pos in range(keep + 1, cfg.seq_len + 1):
+        gen.append(cur[:, None])
+        if pos == cfg.seq_len:
+            break
+        rng, sub = jax.random.split(rng)
+        logits, cache = model.apply(params, cur, jnp.int32(pos), cache,
+                                    method=RARM.decode_step)
+        cur = jax.random.categorical(
+            sub, top_k_filter(logits, min(top_k, cfg.out_vocab))).astype(
+            jnp.int32)
+    half = jnp.concatenate(gen, axis=1)
+    out["samples_half"] = make_grid(
+        to_uint8(decode_code(half.reshape(b, side, side))), n_row)
+    return out

@@ -172,3 +172,52 @@ def test_posterior_tables(sched):
     np.testing.assert_allclose(
         np.asarray(sched.posterior_variance), post_var, rtol=1e-4
     )
+
+
+def test_ddim_eta_and_temperature_variants():
+    """η>0 adds stochasticity; temperature scales it (reference
+    ddim.py:264-266)."""
+    import jax
+
+    from rdm_tpu.ops.schedules import DDIMSchedule, DiffusionSchedule
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    schedule = DiffusionSchedule.create(100, "linear", 0.0015, 0.0195)
+    ddim_det = DDIMSchedule.create(schedule, 10, eta=0.0)
+    assert float(jnp.abs(ddim_det.sigmas).max()) == 0.0
+    ddim_sto = DDIMSchedule.create(schedule, 10, eta=1.0)
+    assert float(ddim_sto.sigmas[:-1].min()) > 0.0
+
+    denoise = lambda x, t, c: 0.1 * x
+    a1, _ = ddim_sample(denoise, schedule,
+                        DDIMSamplerConfig(num_steps=5, eta=1.0),
+                        (1, 4, 4, 1), None, jax.random.PRNGKey(0))
+    a2, _ = ddim_sample(denoise, schedule,
+                        DDIMSamplerConfig(num_steps=5, eta=0.0),
+                        (1, 4, 4, 1), None, jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(a1), np.asarray(a2))
+    a3, _ = ddim_sample(denoise, schedule,
+                        DDIMSamplerConfig(num_steps=5, eta=1.0,
+                                          temperature=0.0),
+                        (1, 4, 4, 1), None, jax.random.PRNGKey(0))
+    assert not np.allclose(np.asarray(a1), np.asarray(a3))
+
+
+def test_beta_schedule_variants():
+    from rdm_tpu.ops.schedules import make_beta_schedule
+
+    for name in ("linear", "cosine", "sqrt_linear", "sqrt"):
+        betas = make_beta_schedule(name, 100, 1e-4, 2e-2)
+        assert betas.shape == (100,)
+        assert (betas > 0).all() and (betas < 1).all()
+    cos = make_beta_schedule("cosine", 1000)
+    assert cos.max() <= 0.999 + 1e-9
+
+
+def test_quad_ddim_discretization():
+    from rdm_tpu.ops.schedules import make_ddim_timesteps
+
+    ts = make_ddim_timesteps(10, 1000, method="quad")
+    assert ts.shape == (10,)
+    assert (np.diff(ts) > 0).all()
+    assert ts.max() < 1000

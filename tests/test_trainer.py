@@ -140,3 +140,32 @@ def test_validation_loop(workspace):
     state = trainer.fit(loader, state=state, max_steps=2,
                         val_loader=loader)
     assert int(state.step) == 2
+
+
+def test_rarm_log_images(workspace, tmp_path):
+    from rdm_tpu.diagnostics import log_images_rarm
+    from rdm_tpu.models.rarm import RARM, RARMConfig
+
+    tmp_root, files, nns_path = workspace
+    ds = QueryDataset(ImagePaths(files, size=32), nns=nns_path, k=2)
+    batch = ds[0]
+    batch = {k: np.stack([v, v]) if isinstance(v, np.ndarray) else v
+             for k, v in batch.items()}
+    fs_cfg = AutoencoderConfig(ch=8, ch_mult=(1, 2, 4), num_res_blocks=1,
+                               resolution=32, z_channels=4, embed_dim=4,
+                               n_embed=16)
+    fs = VQModel(fs_cfg)
+    fs_params = fs.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+    rcfg = RARMConfig(vocab_size=18, out_vocab=16, heads=2, head_dim=8,
+                      depth=1, context_dim=16, seq_len=64, sos_token=17,
+                      mask_token=16, code_side=8)
+    model = RARM(rcfg)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 4), jnp.int32),
+                        jnp.zeros((1, 2, 16)))
+    grids = log_images_rarm(model, params, fs, fs_params, batch,
+                            jax.random.PRNGKey(2), top_k=8)
+    assert set(grids) == {"inputs", "reconstruction", "samples_full",
+                          "samples_half"}
+    for g in grids.values():
+        assert g.dtype == np.uint8 and g.ndim == 3
