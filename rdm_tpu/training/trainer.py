@@ -300,6 +300,8 @@ class RARMTrainer:
 
         self._encode_codes = encode_codes
         os.makedirs(trainer.logdir, exist_ok=True)
+        os.makedirs(os.path.join(trainer.logdir, "images", "train"),
+                    exist_ok=True)
         self.ckpt = CheckpointManager(
             os.path.join(trainer.logdir, "checkpoints"),
             max_to_keep=trainer.max_ckpts, monitor=trainer.monitor)
@@ -360,6 +362,9 @@ class RARMTrainer:
                                        metrics={
                                            k: np.asarray(v)
                                            for k, v in metrics.items()})
+                    if (self.tcfg.image_log_every
+                            and step % self.tcfg.image_log_every == 0):
+                        self._log_images(state, batch, step)
         except BaseException:
             self.ckpt.save(int(state.step), jax.device_get(state))
             self.ckpt.wait()
@@ -367,3 +372,16 @@ class RARMTrainer:
         self.ckpt.save(int(state.step), jax.device_get(state))
         self.ckpt.wait()
         return state
+
+    def _log_images(self, state: TrainState, batch, step: int) -> None:
+        from PIL import Image
+
+        from rdm_tpu.diagnostics import log_images_rarm
+
+        grids = log_images_rarm(
+            self.model, state.ema.params, self.first_stage,
+            self.first_stage_params, batch, jax.random.PRNGKey(step))
+        for key, grid in grids.items():
+            Image.fromarray(grid).save(os.path.join(
+                self.tcfg.logdir, "images", "train",
+                f"{key}_gs-{step:06d}.png"))
