@@ -94,3 +94,29 @@ def test_flash_kernel_gradients_match_xla():
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-4)
+
+
+def test_flash_backward_kernel_matches_xla_grads():
+    """The (non-default) Pallas backward kernel vs XLA gradients, causal
+    and non-causal, including the cross-q-block dk/dv accumulation."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rdm_tpu.ops.flash_attention import _flash_backward, _xla_reference
+
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((2, 64, 2, 32)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 64, 2, 32)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 64, 2, 32)), dtype=jnp.float32)
+    g = jnp.asarray(rng.standard_normal((2, 64, 2, 32)), dtype=jnp.float32)
+    for causal in (False, True):
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: _xla_reference(q_, k_, v_, 32 ** -0.5,
+                                              causal), q, k, v)
+        ref = vjp(g)
+        with pltpu.force_tpu_interpret_mode():
+            # block_q < sq exercises the dk/dv revisit accumulation
+            import rdm_tpu.ops.flash_attention as fa
+            out = fa._flash_backward(q, k, v, g, 32 ** -0.5, causal)
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-4, rtol=1e-3)
