@@ -94,3 +94,15 @@ def test_modified_resnet_tower():
     p = model.init(jax.random.PRNGKey(1), x, toks)
     emb = model.apply(p, x, method=CLIP.encode_image)
     assert emb.shape == (2, 12)
+
+
+def test_tokenizer_unicode_and_bytes():
+    """Non-ASCII input round-trips through the byte-level BPE."""
+    tok = default_tokenizer()
+    for text in ("café au lait", "naïve résumé", "日本語のテスト",
+                 "emoji 🎨 art"):
+        ids = tok.encode(text)
+        assert all(0 <= i < 49408 for i in ids)
+        decoded = tok.decode(ids).strip()
+        # whitespace normalization aside, characters survive
+        assert decoded.replace(" ", "") == text.lower().replace(" ", "")

@@ -193,3 +193,28 @@ def test_params_npz_roundtrip_and_pipeline_load(model_dirs, tmp_path):
     l0 = jax.tree.leaves(loaded)[0]
     p0 = jax.tree.leaves(jax.device_get(pipe.params))[0]
     np.testing.assert_array_equal(np.asarray(l0), np.asarray(p0))
+
+
+def test_rdm_pipeline_with_sharded_database(model_dirs):
+    """Pipeline with the retrieval table sharded over the db mesh axis."""
+    from rdm_tpu.parallel.mesh import make_mesh
+    from rdm_tpu.pipeline import RDMPipeline
+
+    rdm_dir, _, db, mem = model_dirs
+    mesh = make_mesh(data=1, db=8)
+    pipe = RDMPipeline.from_model_dir(rdm_dir, database=db, nn_memory=mem,
+                                      random_init=True, mesh=mesh)
+    logs = pipe.sample_unconditional(2, steps=3, guidance_scale=1.0,
+                                     seed=0, return_nns=True)
+    assert logs["samples_with_sampled_nns"].shape == (2, 16, 16, 3)
+    # sharded search must agree with the single-device engine
+    from rdm_tpu.retrieval.database import DataPool
+    from rdm_tpu.retrieval.engine import RetrievalEngine
+    import jax.numpy as jnp
+    pool = DataPool.load(db)
+    single = RetrievalEngine(pool, dtype=jnp.float32)
+    q = pool.embeddings[:3]
+    a = pipe.retrieval.engine.search(jnp.asarray(q), k=3)
+    b = single.search(jnp.asarray(q), k=3)
+    np.testing.assert_array_equal(np.asarray(a["nns"]),
+                                  np.asarray(b["nns"]))
