@@ -14,8 +14,7 @@ left→right, then `key.path=value` dotlist overrides (main.py:777-779).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, Sequence
 
 import yaml
 

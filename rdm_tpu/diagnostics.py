@@ -11,14 +11,14 @@ All outputs are uint8 HWC grids ready for PNG/TB writers.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rdm_tpu.models.autoencoder import VQModel
-from rdm_tpu.models.rdm import RDM, flatten_neighbors, sample_with_neighbors
+from rdm_tpu.models.rdm import RDM, flatten_neighbors
 from rdm_tpu.ops.schedules import DiffusionSchedule, q_sample
 from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
 

@@ -17,7 +17,7 @@ Behavioral parity targets (semantics only, re-designed for NHWC/JAX):
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, Optional, Sequence
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

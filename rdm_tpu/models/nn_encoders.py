@@ -13,7 +13,7 @@ image, k = neighbors per patch); conditioning leaves as [B, S, D].
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

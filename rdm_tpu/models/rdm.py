@@ -26,7 +26,7 @@ their params are passed explicitly — nothing is hidden in module state.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

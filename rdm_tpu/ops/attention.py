@@ -19,7 +19,6 @@ Behavioral parity: CrossAttention in
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -12,7 +12,7 @@ patch_coords = [x1, y1, x2, y2] and an extra `frame_ranges` column.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Dict, Optional
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import os
 import signal
 from typing import Any, Callable, Optional
 
-import jax
 import numpy as np
 
 try:

@@ -15,7 +15,6 @@ function over the global mesh:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax

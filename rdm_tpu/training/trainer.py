@@ -28,9 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
-from rdm_tpu.models.rdm import RDM, RDMConfig, sample_with_neighbors
+from rdm_tpu.models.rdm import RDM, RDMConfig
 from rdm_tpu.ops.schedules import DiffusionSchedule
-from rdm_tpu.sampling import DDIMSamplerConfig
 from rdm_tpu.training.checkpoint import (
     CheckpointManager,
     install_signal_checkpoint,
