@@ -616,3 +616,55 @@ def test_rarm_transformer_conversion():
                       jnp.asarray(ctx.numpy()))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-4,
                                rtol=1e-3)
+
+
+def test_full_rdm_checkpoint_conversion_with_ema_swap():
+    """convert_rdm: model.diffusion_model.* + first_stage_model.* prefixes,
+    guidance vector passthrough, and the LitEma-style EMA weight swap
+    (flattened-name matching)."""
+    from rdm_tpu.models.rdm import RDM, RDMConfig
+    from rdm_tpu.utils.torch_convert import convert_rdm
+
+    torch.manual_seed(7)
+    unet_oracle = TUNet(UNET_CFG).eval()
+    vq_oracle = TVQ(AE_CFG).eval()
+    sd = {}
+    for k, v in unet_oracle.state_dict().items():
+        sd[f"model.diffusion_model.{k}"] = v.detach().numpy()
+    for k, v in vq_oracle.state_dict().items():
+        sd[f"first_stage_model.{k}"] = v.detach().numpy()
+    sd["unconditional_guidance_vex"] = np.arange(24, dtype=np.float32)
+    # EMA entries: LitEma stores one per model.* param with dots stripped;
+    # give the out-conv weight a distinguishable EMA value
+    ema_key = "model.diffusion_model.out.2.weight"
+    ema_flat = ema_key[len("model."):].replace(".", "")
+    ema_val = np.full_like(sd[ema_key], 0.5, dtype=np.float32)
+    sd["model_ema." + ema_flat] = ema_val
+    sd["model_ema.num_updates"] = np.asarray(10)
+    sd["model_ema.decay"] = np.asarray(0.999)
+
+    cfg = RDMConfig(unet=UNET_CFG, image_size=8, channels=3, timesteps=50,
+                    context_dim=24, k_nn=3)
+
+    # without EMA: raw weights
+    params_raw, fs = convert_rdm(sd, UNET_CFG, AE_CFG, use_ema=False)
+    # with EMA: the out-conv weight takes the EMA value
+    params_ema, _ = convert_rdm(sd, UNET_CFG, AE_CFG, use_ema=True)
+    raw_k = params_raw["params"]["unet"]["out_conv"]["kernel"]
+    ema_k = params_ema["params"]["unet"]["out_conv"]["kernel"]
+    assert not np.allclose(raw_k, ema_k)
+    np.testing.assert_allclose(ema_k, 0.5, atol=1e-6)
+    np.testing.assert_array_equal(
+        params_raw["params"]["unconditional_guidance_vex"],
+        np.arange(24, dtype=np.float32))
+
+    # converted tree must slot into the RDM module and run
+    model = RDM(cfg)
+    x = jnp.zeros((1, 8, 8, 3))
+    out = model.apply(params_ema, x, jnp.zeros((1,), jnp.int32),
+                      jnp.zeros((1, 3, 24)))
+    assert out.shape == (1, 8, 8, 3)
+    assert np.isfinite(np.asarray(out)).all()
+    # first-stage tree runs too
+    rec, _, _ = VQModel(AE_CFG).apply(fs, _nhwc(torch.zeros(1, 3, 16, 16)))
+    assert rec.shape == (1, 16, 16, 3)
