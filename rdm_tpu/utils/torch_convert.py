@@ -341,6 +341,47 @@ def convert_clip(sd: Dict[str, np.ndarray],
     return {"params": m.tree}, cfg
 
 
+def _convert_bn(m: _Mapper, tmod: str, fmod: str, stats: Dict[str, Any]
+                ) -> None:
+    """torch BatchNorm2d → flax BatchNorm (params + batch_stats)."""
+    _set(m.tree, f"{fmod}/scale", m.raw(f"{tmod}.weight"))
+    _set(m.tree, f"{fmod}/bias", m.raw(f"{tmod}.bias"))
+    _set(stats, f"{fmod}/mean", m.raw(f"{tmod}.running_mean"))
+    _set(stats, f"{fmod}/var", m.raw(f"{tmod}.running_var"))
+    if m.has(f"{tmod}.num_batches_tracked"):
+        m.raw(f"{tmod}.num_batches_tracked")  # consume
+
+
+def convert_clip_resnet_visual(
+    sd: Dict[str, np.ndarray],
+    layers: Tuple[int, ...] = (3, 4, 6, 3),
+    prefix: str = "visual.",
+) -> Dict[str, Any]:
+    """OpenAI CLIP ModifiedResNet tower → rdm_tpu.models.clip.ModifiedResNet
+    variables ({'params', 'batch_stats'} for the visual scope)."""
+    m = _Mapper(sd, prefix)
+    stats: Dict[str, Any] = {}
+    for i in (1, 2, 3):
+        m.conv(f"conv{i}", f"conv{i}")
+        _convert_bn(m, f"bn{i}", f"bn{i}", stats)
+    for stage, blocks in enumerate(layers):
+        for blk in range(blocks):
+            t = f"layer{stage + 1}.{blk}"
+            f = f"layer{stage + 1}_{blk}"
+            for c in (1, 2, 3):
+                m.conv(f"{t}.conv{c}", f"{f}/conv{c}")
+                _convert_bn(m, f"{t}.bn{c}", f"{f}/bn{c}", stats)
+            if m.has(f"{t}.downsample.0.weight"):
+                m.conv(f"{t}.downsample.0", f"{f}/downsample_conv")
+                _convert_bn(m, f"{t}.downsample.1", f"{f}/downsample_bn",
+                            stats)
+    m.copy("attnpool.positional_embedding",
+           "attnpool/positional_embedding")
+    for p in ("q_proj", "k_proj", "v_proj", "c_proj"):
+        m.linear(f"attnpool.{p}", f"attnpool/{p}")
+    return {"params": m.tree, "batch_stats": stats}
+
+
 # ---------------------------------------------------------------------------
 # RARM (RetrievalPatchTransformer) checkpoint
 # ---------------------------------------------------------------------------

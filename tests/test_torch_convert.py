@@ -668,3 +668,112 @@ def test_full_rdm_checkpoint_conversion_with_ema_swap():
     # first-stage tree runs too
     rec, _, _ = VQModel(AE_CFG).apply(fs, _nhwc(torch.zeros(1, 3, 16, 16)))
     assert rec.shape == (1, 16, 16, 3)
+
+
+# ---------------- CLIP ModifiedResNet (RN50-style) oracle ----------------
+
+class TBottleneck(tnn.Module):
+    def __init__(self, inplanes, planes, stride=1):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.avgpool = tnn.AvgPool2d(stride) if stride > 1 \
+            else tnn.Identity()
+        self.conv3 = tnn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.stride = stride
+        if stride > 1 or inplanes != planes * 4:
+            # OpenAI layout: avgpool named "-1", conv "0", bn "1"
+            from collections import OrderedDict
+            self.downsample = tnn.Sequential(OrderedDict([
+                ("-1", tnn.AvgPool2d(stride) if stride > 1
+                 else tnn.Identity()),
+                ("0", tnn.Conv2d(inplanes, planes * 4, 1, bias=False)),
+                ("1", tnn.BatchNorm2d(planes * 4))]))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        h = torch.relu(self.bn1(self.conv1(x)))
+        h = torch.relu(self.bn2(self.conv2(h)))
+        h = self.avgpool(h)
+        h = self.bn3(self.conv3(h))
+        sc = self.downsample(x) if self.downsample is not None else x
+        return torch.relu(h + sc)
+
+
+class TModifiedResNet(tnn.Module):
+    def __init__(self, layers=(1, 1), width=16, out_dim=12, heads=8):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, width // 2, 3, stride=2, padding=1,
+                                bias=False)
+        self.bn1 = tnn.BatchNorm2d(width // 2)
+        self.conv2 = tnn.Conv2d(width // 2, width // 2, 3, padding=1,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(width // 2)
+        self.conv3 = tnn.Conv2d(width // 2, width, 3, padding=1,
+                                bias=False)
+        self.bn3 = tnn.BatchNorm2d(width)
+        self.avgpool = tnn.AvgPool2d(2)
+        planes, inplanes = width, width
+        stages = []
+        for s, n in enumerate(layers):
+            blocks = []
+            for b in range(n):
+                stride = 2 if (b == 0 and s > 0) else 1
+                blocks.append(TBottleneck(inplanes, planes, stride))
+                inplanes = planes * 4
+            stages.append(tnn.ModuleList(blocks))
+            planes *= 2
+        self.layer1, self.layer2 = stages
+        embed = inplanes
+        self.attnpool = tnn.Module()
+        self.attnpool.positional_embedding = tnn.Parameter(
+            0.02 * torch.randn(4 * 4 + 1, embed))  # 32px -> 4x4 grid
+        for p in ("q_proj", "k_proj", "v_proj"):
+            setattr(self.attnpool, p, tnn.Linear(embed, embed))
+        self.attnpool.c_proj = tnn.Linear(embed, out_dim)
+        self.heads = heads
+
+    def forward(self, x):
+        x = torch.relu(self.bn1(self.conv1(x)))
+        x = torch.relu(self.bn2(self.conv2(x)))
+        x = torch.relu(self.bn3(self.conv3(x)))
+        x = self.avgpool(x)
+        for blk in self.layer1:
+            x = blk(x)
+        for blk in self.layer2:
+            x = blk(x)
+        b, c, h, w = x.shape
+        t = x.reshape(b, c, h * w).permute(0, 2, 1)
+        t = torch.cat([t.mean(1, keepdim=True), t], dim=1)
+        t = t + self.attnpool.positional_embedding[None]
+        ap = self.attnpool
+        q = ap.q_proj(t[:, :1]).reshape(b, 1, self.heads, -1)
+        k = ap.k_proj(t).reshape(b, -1, self.heads, q.shape[-1])
+        v = ap.v_proj(t).reshape(b, -1, self.heads, q.shape[-1])
+        att = torch.softmax(
+            torch.einsum("bqhd,bkhd->bhqk", q, k)
+            * q.shape[-1] ** -0.5, dim=-1)
+        out = torch.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, c)
+        return ap.c_proj(out)
+
+
+def test_clip_resnet_visual_conversion():
+    from rdm_tpu.models.clip import ModifiedResNet
+    from rdm_tpu.utils.torch_convert import convert_clip_resnet_visual
+
+    torch.manual_seed(9)
+    oracle = TModifiedResNet().eval()
+    sd = {f"visual.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    variables = convert_clip_resnet_visual(sd, layers=(1, 1))
+    model = ModifiedResNet(layers=(1, 1), width=16, heads=8, out_dim=12)
+    with torch.no_grad():
+        x = torch.randn(2, 3, 32, 32)
+        ref = oracle(x)
+    out = model.apply(variables, _nhwc(x))
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=5e-4,
+                               rtol=1e-3)
