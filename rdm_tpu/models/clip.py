@@ -259,7 +259,13 @@ class ModifiedResNet(nn.Module):
             use_running_average=True, dtype=jnp.float32,
             param_dtype=jnp.float32, name=name)
         x = x.astype(self.dtype)
-        x = nn.relu(bn("bn1")(conv(w // 2, 3, 2, "conv1")(x)))
+        # Stride-2 k=3 stem conv: torch pads (1,1) but XLA "SAME" pads (0,1)
+        # at stride 2, shifting every output window by one input pixel — pad
+        # explicitly and convolve VALID (same trap as layers.Downsample).
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        x = nn.relu(bn("bn1")(nn.Conv(
+            w // 2, (3, 3), strides=(2, 2), padding="VALID", use_bias=False,
+            dtype=self.dtype, param_dtype=jnp.float32, name="conv1")(x)))
         x = nn.relu(bn("bn2")(conv(w // 2, 3, 1, "conv2")(x)))
         x = nn.relu(bn("bn3")(conv(w, 3, 1, "conv3")(x)))
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))

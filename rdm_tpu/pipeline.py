@@ -317,7 +317,8 @@ class RDMPipeline:
         gathered — all inside one compiled program. Requires CLIP weights
         and a database."""
         from rdm_tpu.models.clip import CLIP, preprocess
-        from rdm_tpu.retrieval.engine import knn_search, l2_normalize
+        from rdm_tpu.retrieval.engine import (gather_unnormalized,
+                                              knn_search, l2_normalize)
         from rdm_tpu.sampling import ddim_retro_sample
 
         if self.retrieval is None:
@@ -332,6 +333,7 @@ class RDMPipeline:
         found = self.retrieval.engine.search(jnp.asarray(q_emb), k=k_nn)
         init_ctx = jnp.asarray(found["embeddings"], dtype=jnp.float32)
         db_norm = self.retrieval.engine.db_norm
+        row_norms = self.retrieval.engine.row_norms
         clip_params = self.clip_params
         fs_params = self.first_stage_params
 
@@ -342,7 +344,10 @@ class RDMPipeline:
             emb = self.clip.apply(
                 clip_params, preprocess(img), method=CLIP.encode_image)
             _, nns = knn_search(db_norm, l2_normalize(emb), k_nn)
-            return jnp.take(db_norm, nns, axis=0).astype(jnp.float32)
+            # condition on UNNORMALIZED pool-scale embeddings, as in
+            # training (reference dsetbuilder.py:510) — raw db_norm rows
+            # would be out-of-distribution unit-norm contexts
+            return gather_unnormalized(db_norm, row_norms, nns)
 
         sampler = DDIMSamplerConfig(num_steps=steps,
                                     guidance_scale=guidance_scale)
@@ -475,6 +480,10 @@ class RARMPipeline:
         elif only_query:
             neighbors = q[:, None]
         else:
+            if self.retrieval is None:
+                raise ValueError("query sampling with retrieval requires a "
+                                 "database (use only_query/unconditional "
+                                 "otherwise)")
             found = self.retrieval.engine.search(jnp.asarray(q), k=k_nn)
             r_emb = np.asarray(found["embeddings"], dtype=np.float32)
             neighbors = np.concatenate([q[:, None], r_emb[:, :k_nn - 1]],

@@ -101,6 +101,16 @@ def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), eps)
 
 
+def gather_unnormalized(db_norm: jax.Array, row_norms: jax.Array,
+                        ids: jnp.ndarray) -> jnp.ndarray:
+    """Gather UNNORMALIZED f32 embeddings by id from the normalized scoring
+    table: db_norm[id] * row_norms[id]. This is the conditioning scale the
+    models were trained on (reference dsetbuilder.py:510) — gathering raw
+    rows of db_norm would feed out-of-distribution unit-norm contexts."""
+    rows = jnp.take(db_norm, ids, axis=0).astype(jnp.float32)
+    return rows * jnp.take(row_norms, ids)[..., None]
+
+
 class RetrievalEngine:
     """Device-side searcher bound to a data pool.
 
@@ -118,9 +128,33 @@ class RetrievalEngine:
         self.mesh = mesh
         self.db_norm = pool.device_table(mesh=mesh, dtype=dtype,
                                          normalized=True)
+        # Per-row L2 norms (f32, padded to the table) let neighbor gathers
+        # reconstruct the UNNORMALIZED embeddings the model was trained on
+        # (reference dsetbuilder.py:510) without a second full-size device
+        # table: gathered rows are db_norm[id] * norm[id], exact up to the
+        # table's storage dtype.
+        norms = np.linalg.norm(
+            pool.embeddings.astype(np.float32), axis=1)
+        pad = self.db_norm.shape[0] - norms.shape[0]
+        if pad:
+            norms = np.concatenate([norms, np.ones(pad, np.float32)])
+        self.row_norms = jnp.asarray(norms, dtype=jnp.float32)
         self._search = jax.jit(
             functools.partial(knn_search, mesh=mesh),
             static_argnames=("k",))
+
+        size = pool.size
+
+        def _fused(db_norm, row_norms, q, *, k):
+            qn = l2_normalize(q.astype(jnp.float32))
+            scores, nns = knn_search(db_norm, qn, k, mesh=mesh)
+            nns = jnp.minimum(nns, size - 1)
+            emb = gather_unnormalized(db_norm, row_norms, nns)
+            return scores, nns, emb
+
+        # search + neighbor gather in ONE compiled program — no host
+        # round-trip between kNN and conditioning assembly
+        self._search_gather = jax.jit(_fused, static_argnames=("k",))
 
     @property
     def size(self) -> int:
@@ -131,14 +165,19 @@ class RetrievalEngine:
         """query_embeddings: [B, D] unnormalized. Returns dict with
         'nns' [B,k], 'scores' [B,k], and (optionally) 'embeddings'
         [B,k,D] float32, 'img_ids' [B,k], 'patch_coords' [B,k,4]."""
-        q = l2_normalize(jnp.asarray(query_embeddings, dtype=jnp.float32))
-        scores, nns = self._search(self.db_norm, q, k=k)
-        # clamp padded rows (score -inf) — only reachable when k > pool size
-        nns = jnp.minimum(nns, self.pool.size - 1)
-        out = {"nns": nns, "scores": scores}
+        q = jnp.asarray(query_embeddings, dtype=jnp.float32)
         if gather_embeddings:
+            scores, nns, emb = self._search_gather(
+                self.db_norm, self.row_norms, q, k=k)
+            out = {"nns": nns, "scores": scores, "embeddings": emb}
+        else:
+            scores, nns = self._search(self.db_norm, l2_normalize(q), k=k)
+            # clamp padded rows — only reachable when k > pool size
+            nns = jnp.minimum(nns, self.pool.size - 1)
+            out = {"nns": nns, "scores": scores}
+        if gather_embeddings and (self.pool.img_ids is not None
+                                  or self.pool.patch_coords is not None):
             ids = np.asarray(nns)
-            out["embeddings"] = self.pool.embeddings[ids]
             if self.pool.img_ids is not None:
                 out["img_ids"] = self.pool.img_ids[ids]
             if self.pool.patch_coords is not None:

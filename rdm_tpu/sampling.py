@@ -77,6 +77,19 @@ def ddim_sample(
     rng, init_rng = jax.random.split(rng)
     x = (x_init if x_init is not None
          else jax.random.normal(init_rng, shape, dtype=jnp.float32))
+    if mask is not None:
+        # reference ddim.py:187-190 blends q_sample(x0, ts) at the CURRENT
+        # timestep before every step; pre-blend the initial noise at the
+        # first (largest) DDIM timestep to match.
+        from rdm_tpu.ops.schedules import q_sample
+
+        ddim_pre = DDIMSchedule.create(
+            schedule, config.num_steps, eta=config.eta, method=config.method)
+        rng, brng = jax.random.split(rng)
+        t0 = jnp.full((shape[0],), ddim_pre.timesteps[-1], dtype=jnp.int32)
+        noised0 = q_sample(schedule, x0, t0,
+                           jax.random.normal(brng, shape, jnp.float32))
+        x = mask * noised0 + (1.0 - mask) * x
 
     if use_cfg:
         ctx_both = jnp.concatenate([context, uncond_context], axis=0)
@@ -122,12 +135,20 @@ def ddim_sample(
             x_prev = (jnp.sqrt(a_prev) * pred_x0 + dir_xt
                       + sigma_t * config.temperature * noise)
         if mask is not None:
-            # re-noise x0 to the *previous* timestep and blend
+            # Post-step equivalent of the reference's pre-step blend
+            # (ddim.py:187-190): the next iteration runs at DDIM index-1, so
+            # re-noise x0 to ddim.timesteps[index-1] — NOT t-1, which at
+            # DDIM-50 is ~19 noise levels too high. No blend after the
+            # final step (index 0); the initial blend happened pre-scan.
             from rdm_tpu.ops.schedules import q_sample
-            t_prev = jnp.maximum(t - 1, 0)
+            t_prev = jnp.full(
+                (shape[0],),
+                ddim.timesteps[jnp.maximum(index - 1, 0)], dtype=jnp.int32)
             noised = q_sample(schedule, x0, t_prev,
                               jax.random.normal(mrng, shape, jnp.float32))
-            x_prev = mask * noised + (1.0 - mask) * x_prev
+            x_prev = jnp.where(index > 0,
+                               mask * noised + (1.0 - mask) * x_prev,
+                               x_prev)
         out = pred_x0 if config.log_every_t else None
         return (x_prev, rng), out
 

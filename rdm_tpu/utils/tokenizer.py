@@ -59,11 +59,38 @@ def _pairs(word):
 
 
 def _clean(text: str) -> str:
-    # ftfy is unavailable in this environment; double html-unescape + strip
-    # matches its output for the ASCII prompts this model is used with.
+    # Reference (simple_tokenizer.py basic_clean) runs ftfy.fix_text first.
+    # Use it when installed; otherwise fall back to a mojibake repair that
+    # covers ftfy's dominant fix (UTF-8 read as latin-1/cp1252), matching
+    # its output for ASCII and common mojibake prompts.
+    try:
+        import ftfy  # optional dependency
+        text = ftfy.fix_text(text)
+    except ImportError:
+        text = _fix_mojibake(text)
     text = html.unescape(html.unescape(text))
     text = re.sub(r"\s+", " ", text)
     return text.strip().lower()
+
+
+def _fix_mojibake(text: str) -> str:
+    """Repair UTF-8-decoded-as-latin-1/cp1252 text (ftfy's main job).
+
+    If the string re-encodes losslessly to latin-1/cp1252 bytes that decode
+    as valid UTF-8 containing multibyte sequences, the UTF-8 reading is
+    overwhelmingly more likely to be the intended text.
+    """
+    if text.isascii():
+        return text
+    for enc in ("latin-1", "cp1252"):
+        try:
+            raw = text.encode(enc)
+            fixed = raw.decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            continue
+        if fixed != text and any(ord(c) > 0x7F for c in fixed):
+            return fixed
+    return text
 
 
 class ClipTokenizer:

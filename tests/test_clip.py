@@ -106,3 +106,15 @@ def test_tokenizer_unicode_and_bytes():
         decoded = tok.decode(ids).strip()
         # whitespace normalization aside, characters survive
         assert decoded.replace(" ", "") == text.lower().replace(" ", "")
+
+
+def test_tokenizer_clean_fixes_mojibake():
+    """UTF-8-as-latin-1 mojibake must tokenize like the intended text
+    (reference basic_clean runs ftfy.fix_text)."""
+    from rdm_tpu.utils.tokenizer import _clean
+
+    assert _clean("cafÃ©") == "café"
+    assert _clean("naÃ¯ve dog") == "naïve dog"
+    # plain ASCII and real non-ASCII text pass through
+    assert _clean("  A  Dog ") == "a dog"
+    assert _clean("café") == "café"

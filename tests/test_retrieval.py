@@ -134,3 +134,38 @@ def test_fused_knn_kernel_matches_oracle():
         _, ti = knn_search_fused(jnp.asarray(dup), jnp.asarray(dup[:1]),
                                  4, block_n=4)
     np.testing.assert_array_equal(np.asarray(ti)[0], [0, 1, 2, 3])
+
+
+def test_gather_returns_unnormalized_scale_bf16():
+    """The device-side gather must return pool-scale (UNNORMALIZED)
+    embeddings even though the scoring table is L2-normalized bf16 —
+    conditioning on unit-norm rows would be out-of-distribution."""
+    from rdm_tpu.retrieval.engine import gather_unnormalized
+
+    pool = _random_pool(n=256, d=32, seed=6)
+    eng = RetrievalEngine(pool, mesh=None)  # default bf16 table
+    q = pool.embeddings[:4]
+    out = eng.search(jnp.asarray(q), k=3)
+    got = np.asarray(out["embeddings"])
+    ref = pool.embeddings[np.asarray(out["nns"])]
+    # bf16 storage => ~0.4% relative error, but the SCALE must match the
+    # raw pool embeddings (norm ~ sqrt(32) ~ 5.6, not 1.0)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1),
+                               np.linalg.norm(ref, axis=-1), rtol=1e-2)
+    # direct gather helper
+    emb = gather_unnormalized(eng.db_norm, eng.row_norms,
+                              jnp.asarray([[0, 5], [9, 1]]))
+    np.testing.assert_allclose(np.asarray(emb),
+                               pool.embeddings[np.array([[0, 5], [9, 1]])],
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_search_gather_is_single_program():
+    """search(gather_embeddings=True) returns device arrays from one jitted
+    program — no host numpy round-trip for the embeddings."""
+    pool = _random_pool(n=256, d=32, seed=8)
+    eng = RetrievalEngine(pool, mesh=None, dtype=jnp.float32)
+    out = eng.search(jnp.ones((2, 32)), k=2)
+    assert isinstance(out["embeddings"], jax.Array)
+    assert out["embeddings"].dtype == jnp.float32

@@ -82,3 +82,46 @@ def test_ddim_quantize_denoised_hook():
                          (1, 4, 4, 1), None, jax.random.PRNGKey(0))
     assert out_q.shape == out.shape
     assert not np.allclose(np.asarray(out_q), np.asarray(out))
+
+
+def test_ddim_inpaint_blend_matches_reference_structure():
+    """Inpainting blend parity with the reference's PRE-step structure
+    (ddim.py:187-190): before each step at DDIM index i the kept region is
+    q_sample(x0, timesteps[i]); no blend after the final step. The oracle
+    below implements exactly that pre-step loop, consuming the same RNG
+    stream as ddim_sample's post-step formulation."""
+    from rdm_tpu.ops.schedules import DDIMSchedule, ddim_step, q_sample
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    schedule = DiffusionSchedule.create(50, "linear", 0.0015, 0.0195)
+    cfg = DDIMSamplerConfig(num_steps=5)
+    shape = (2, 4, 4, 1)
+    denoise = lambda x, t, c: 0.1 * x
+    x0 = jnp.full(shape, 0.5)
+    mask = jnp.zeros(shape).at[:, :, :2].set(1.0)  # keep left half
+
+    key = jax.random.PRNGKey(7)
+    got, _ = ddim_sample(denoise, schedule, cfg, shape, None, key,
+                         mask=mask, x0=x0)
+
+    # ---- oracle: reference-style pre-step blend, same RNG consumption ----
+    ddim = DDIMSchedule.create(schedule, cfg.num_steps)
+    rng, init_rng = jax.random.split(key)
+    x = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+    rng, brng = jax.random.split(rng)
+    blend_noise = jax.random.normal(brng, shape, jnp.float32)
+    steps = ddim.num_steps
+    for step in range(steps):
+        index = steps - 1 - step
+        # pre-step blend at the CURRENT ddim timestep
+        t_cur = jnp.full((shape[0],), ddim.timesteps[index], jnp.int32)
+        noised = q_sample(schedule, x0, t_cur, blend_noise)
+        x = mask * noised + (1.0 - mask) * x
+        t = jnp.full((shape[0],), ddim.timesteps[index], jnp.int32)
+        eps = denoise(x, t, None)
+        rng, nrng, mrng = jax.random.split(rng, 3)
+        noise = jax.random.normal(nrng, shape, jnp.float32)
+        x, _ = ddim_step(ddim, x, eps, index, noise)
+        blend_noise = jax.random.normal(mrng, shape, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(x),
+                               rtol=1e-5, atol=1e-5)

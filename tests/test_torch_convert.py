@@ -774,6 +774,16 @@ def test_clip_resnet_visual_conversion():
     with torch.no_grad():
         x = torch.randn(2, 3, 32, 32)
         ref = oracle(x)
-    out = model.apply(variables, _nhwc(x))
-    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=5e-4,
-                               rtol=1e-3)
+        ref_conv1 = oracle.conv1(x)
+    out, inter = model.apply(variables, _nhwc(x),
+                             capture_intermediates=True)
+    # Intermediate parity: a stem-padding misalignment (XLA SAME vs torch
+    # pad=1 at stride 2) passes the tiny pooled output at absolute 5e-4 but
+    # shifts every conv1 window — assert the raw conv1 feature map too.
+    conv1 = np.asarray(inter["intermediates"]["conv1"]["__call__"][0])
+    np.testing.assert_allclose(conv1.transpose(0, 3, 1, 2),
+                               ref_conv1.numpy(), atol=1e-5, rtol=1e-4)
+    # relative tolerance against the output scale, not bare atol
+    scale = float(np.abs(ref.numpy()).max())
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(),
+                               atol=1e-3 * scale, rtol=1e-3)
