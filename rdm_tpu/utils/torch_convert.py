@@ -467,3 +467,31 @@ def convert_rdm(
     if "logvar" in sd:
         rdm_params["logvar"] = np.asarray(sd["logvar"], dtype=np.float32)
     return {"params": rdm_params}, fs
+
+
+# ---------------------------------------------------------------------------
+# FID InceptionV3 (pytorch-fid pt_inception-2015-12-05 layout)
+# ---------------------------------------------------------------------------
+
+def convert_inception(sd: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """FID InceptionV3 state dict → rdm_tpu.models.inception.InceptionV3
+    variables. Flax submodule names mirror the torch dotted paths
+    (Mixed_5b.branch1x1.conv → Mixed_5b/branch1x1/conv), so the walk is
+    mechanical; the fc head and AuxLogits are dropped (pool3 features only).
+    """
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for k in sd:
+        if k.startswith(("fc.", "AuxLogits.")):
+            continue
+        if k.endswith(".conv.weight"):
+            mod = k[: -len(".conv.weight")]
+            f = mod.replace(".", "/")
+            _set(params, f"{f}/conv/kernel", _conv_kernel(sd[k]))
+            _set(params, f"{f}/bn/scale", sd[mod + ".bn.weight"])
+            _set(params, f"{f}/bn/bias", sd[mod + ".bn.bias"])
+            _set(stats, f"{f}/bn/mean", sd[mod + ".bn.running_mean"])
+            _set(stats, f"{f}/bn/var", sd[mod + ".bn.running_var"])
+    if not params:
+        raise ValueError("no InceptionV3 conv weights found in state dict")
+    return {"params": params, "batch_stats": stats}

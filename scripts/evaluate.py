@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Evaluation CLI: FID + precision/recall between two image directories.
 
+    # paper-protocol Inception-feature FID (torch-fidelity semantics):
     python scripts/evaluate.py --real real_dir --generated sample_dir \\
-        --clip_ckpt models/clip/ViT-B-32.pt [--nhood 3] [--size 256]
+        --features inception --inception_ckpt pt_inception-2015-12-05.pth
+    # CLIP-feature FID (the reference's FFHQ rows, README.md:155-157):
+    python scripts/evaluate.py --real real_dir --generated sample_dir \\
+        --features clip --clip_ckpt models/clip/ViT-B-32.pt
 
-Features come from the CLIP image tower (the reference's FFHQ metrics use
-CLIP features, /root/reference/README.md:155-157); any embedder importable
-as `module:function` can be substituted via --embedder.
+--features inception uses the FID InceptionV3 pool3 trunk (pytorch-fid's
+pt_inception weights convert directly) so numbers are comparable to the
+reference's published ImageNet FIDs; any embedder importable as
+`module:function` can be substituted via --embedder.
 """
 
 from __future__ import annotations
@@ -26,7 +31,13 @@ def parse_args():
     p = argparse.ArgumentParser()
     p.add_argument("--real", type=str, required=True)
     p.add_argument("--generated", type=str, required=True)
+    p.add_argument("--features", type=str, default="clip",
+                   choices=("clip", "inception"),
+                   help="feature space: CLIP image tower (FFHQ protocol) "
+                        "or Inception pool3 (paper ImageNet protocol)")
     p.add_argument("--clip_ckpt", type=str, default=None)
+    p.add_argument("--inception_ckpt", type=str, default=None,
+                   help="pytorch-fid pt_inception-2015-12-05 weights")
     p.add_argument("--embedder", type=str, default=None,
                    help="module:function custom embedder")
     p.add_argument("--size", type=int, default=256)
@@ -61,6 +72,14 @@ def main():
         import importlib
 
         embedder = getattr(importlib.import_module(mod), fn)
+    elif opt.features == "inception":
+        if not opt.inception_ckpt:
+            raise SystemExit("--features inception needs --inception_ckpt")
+        from rdm_tpu.models.inception import InceptionEmbedder
+        from rdm_tpu.utils.torch_convert import (
+            convert_inception, load_torch_state_dict)
+        embedder = InceptionEmbedder(
+            convert_inception(load_torch_state_dict(opt.inception_ckpt)))
     elif opt.clip_ckpt:
         from rdm_tpu.models.retrievers import ClipImageRetriever
         from rdm_tpu.utils.torch_convert import (
@@ -68,7 +87,8 @@ def main():
         params, cfg = convert_clip(load_torch_state_dict(opt.clip_ckpt))
         embedder = ClipImageRetriever(params, cfg)
     else:
-        raise SystemExit("need --clip_ckpt or --embedder")
+        raise SystemExit("need --clip_ckpt, --inception_ckpt, or "
+                         "--embedder")
 
     real = features_from_images(
         iter_images(opt.real, opt.size, opt.max_images), embedder,

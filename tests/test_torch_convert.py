@@ -787,3 +787,63 @@ def test_clip_resnet_visual_conversion():
     scale = float(np.abs(ref.numpy()).max())
     np.testing.assert_allclose(np.asarray(out), ref.numpy(),
                                atol=1e-3 * scale, rtol=1e-3)
+
+
+def test_golden_ddim_trajectory_vs_torch():
+    """End-to-end numerical parity: converted U-Net weights + identical
+    noise must reproduce the reference's FULL DDIM trajectory (pred_x0 at
+    every step and the final latent) against a torch loop implementing
+    ddim.py:253-267 with CFG (ddim.py:229-238), eta=0."""
+    from rdm_tpu.ops.schedules import DiffusionSchedule
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    torch.manual_seed(11)
+    oracle = TUNet(UNET_CFG).eval()
+    params = convert_unet(_sd(oracle), UNET_CFG, prefix="")
+    model = UNet(UNET_CFG)
+
+    T, S, scale = 50, 10, 2.0
+    # independent float64 tables from the reference formulas
+    betas = np.linspace(0.0015 ** 0.5, 0.0195 ** 0.5, T) ** 2
+    acp = np.cumprod(1.0 - betas)
+    ts = np.minimum(np.arange(0, T, T // S) + 1, T - 1)
+    alphas = acp[ts]
+    alphas_prev = np.concatenate([acp[:1], acp[ts[:-1]]])
+
+    ctx = torch.randn(2, 3, 24)
+    uctx = torch.zeros(2, 3, 24)
+    x0_noise = torch.randn(2, 3, 8, 8)
+
+    x = x0_noise.clone()
+    traj = []
+    with torch.no_grad():
+        for i in reversed(range(S)):
+            t = torch.full((2,), int(ts[i]), dtype=torch.long)
+            e_c = oracle(x, t, ctx)
+            e_u = oracle(x, t, uctx)
+            eps = e_u + scale * (e_c - e_u)
+            a_t, a_prev = float(alphas[i]), float(alphas_prev[i])
+            pred_x0 = (x - np.sqrt(1.0 - a_t) * eps) / np.sqrt(a_t)
+            dir_xt = np.sqrt(1.0 - a_prev) * eps
+            x = np.sqrt(a_prev) * pred_x0 + dir_xt
+            traj.append(pred_x0.numpy())
+
+    schedule = DiffusionSchedule.create(T, "linear", 0.0015, 0.0195)
+    cfg = DDIMSamplerConfig(num_steps=S, guidance_scale=scale, log_every_t=1)
+    denoise = lambda xt, tt, cc: model.apply(params, xt, tt, cc)
+    out, interm = ddim_sample(
+        denoise, schedule, cfg, (2, 8, 8, 3),
+        jnp.asarray(ctx.numpy()), jax.random.PRNGKey(0),
+        uncond_context=jnp.asarray(uctx.numpy()),
+        x_init=_nhwc(x0_noise))
+
+    assert interm.shape[0] == S
+    for i in range(S):
+        got = np.asarray(interm[i]).transpose(0, 3, 1, 2)
+        ref = traj[i]
+        tol = 1e-3 * max(1.0, float(np.abs(ref).max()))
+        np.testing.assert_allclose(got, ref, atol=tol,
+                                   err_msg=f"pred_x0 diverges at step {i}")
+    final_tol = 1e-3 * max(1.0, float(np.abs(x.numpy()).max()))
+    np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
+                               x.numpy(), atol=final_tol)
