@@ -234,11 +234,19 @@ class QueryDataset:
     scripts/search_neighbors.py). Each neighbor file holds
     {n_patches_per_side: {'embeddings' [n,k,D], 'img_ids', 'patch_coords',
     'nn_ids'}}. corrupts.txt ids are resampled away.
+
+    Pixel neighbors (reference base.py:945-1026): with load_patches=True
+    the sample additionally carries `nn_patches` [p², k, h, w, 3] float
+    [-1,1] — either from the pre-saved PNGs indexed by
+    `nns-{p²}_patches.p` (search_neighbors --save_patches pass 2), or by
+    live re-crop from `rset` (the retrieval-side image dataset) using the
+    stored (img_id, patch_coords).
     """
 
     def __init__(self, dset, nns: Optional[str] = None,
                  n_patches_per_side: int = 1, k: Optional[int] = None,
-                 debug: bool = False, seed: Optional[int] = None):
+                 debug: bool = False, seed: Optional[int] = None,
+                 load_patches: bool = False, rset=None):
         self.data = dset
         self.n_patches_per_side = n_patches_per_side
         self.k_nearest = k
@@ -246,6 +254,10 @@ class QueryDataset:
         self.nn_paths: Optional[Dict[int, str]] = None
         self.corrupt_ids: List[int] = []
         self.rng = np.random.default_rng(seed)
+        self.load_patches = load_patches
+        self.rset = rset
+        self.patches_loaded = False
+        self.patch_paths: Optional[Dict[int, np.ndarray]] = None
         if nns:
             if os.path.isdir(nns):
                 self.basepath = nns
@@ -262,6 +274,19 @@ class QueryDataset:
                 self.basepath = os.path.dirname(nns)
                 with open(nns, "rb") as f:
                     self.nn_paths = pickle.load(f)
+            if self.load_patches:
+                patches_file = os.path.join(
+                    self.basepath,
+                    f"nns-{self.n_patches_per_side ** 2}_patches.p")
+                if os.path.isfile(patches_file):
+                    with open(patches_file, "rb") as f:
+                        self.patch_paths = pickle.load(f)
+                    self.patches_loaded = True
+                elif self.rset is None:
+                    raise ValueError(
+                        "load_patches=True but neither a precomputed "
+                        f"{patches_file} nor an rset for live re-crop "
+                        "was provided")
             corrupts = os.path.join(self.basepath, "corrupts.txt")
             if os.path.isfile(corrupts):
                 with open(corrupts) as f:
@@ -269,9 +294,37 @@ class QueryDataset:
                                         l.strip()]
                 for cid in self.corrupt_ids:
                     self.nn_paths.pop(cid, None)
+                    if self.patch_paths is not None:
+                        self.patch_paths.pop(cid, None)
 
     def __len__(self):
         return len(self.data)
+
+    def get_patches(self, idx: int) -> np.ndarray:
+        """Pre-saved neighbor PNGs → [p², k, h, w, 3] float [-1,1]
+        (reference base.py:949-958)."""
+        rels = self.patch_paths[idx]
+        patches = []
+        for rel in rels:
+            img = Image.open(os.path.join(self.basepath, rel)).convert(
+                "RGB")
+            patches.append(
+                np.asarray(img, dtype=np.float32) / 127.5 - 1.0)
+        n = self.n_patches_per_side ** 2
+        return np.stack(patches).reshape(n, -1, *patches[0].shape)
+
+    def crop_patches(self, nns: Dict[str, np.ndarray]) -> np.ndarray:
+        """Live re-crop from the retrieval dataset by (img_id,
+        patch_coords) (reference base.py:997-1026)."""
+        img_ids = np.asarray(nns["img_ids"]).reshape(-1)
+        coords = np.asarray(nns["patch_coords"]).reshape(-1, 4)
+        patches = []
+        for img_id, (x1, y1, x2, y2) in zip(img_ids, coords):
+            image = self.rset[int(img_id)]["image"]
+            patches.append(image[int(y1):int(y2), int(x1):int(x2)])
+        k = np.asarray(nns["img_ids"]).shape[-1]
+        out = np.stack(patches)
+        return out.reshape(-1, k, *out.shape[1:])
 
     def load_nns(self, idx: int) -> Dict[str, np.ndarray]:
         fname = os.path.join(self.basepath, self.nn_paths[idx])
@@ -300,6 +353,14 @@ class QueryDataset:
             if self.k_nearest:
                 nns = {key: v[:, :self.k_nearest]
                        for key, v in nns.items() if key != "nn_patches"}
+            if self.load_patches:
+                if self.patches_loaded:
+                    nn_patches = self.get_patches(idx)
+                else:
+                    nn_patches = self.crop_patches(nns)
+                if self.k_nearest:
+                    nn_patches = nn_patches[:, :self.k_nearest]
+                out["nn_patches"] = nn_patches.astype(np.float32)
             out["nn_embeddings"] = np.asarray(nns["embeddings"],
                                               dtype=np.float32)
             if "img_ids" in nns:

@@ -131,6 +131,138 @@ class SpatioTemporalZNNEncoder(_VQBase):
     __call__ = encode
 
 
+@dataclasses.dataclass
+class SpatioTemporalCodeNNEncoder(_VQBase):
+    """Code ids, spatial tokens: [B,n,k,h,w,3] → int [B, n*k*h'*w']
+    (nn_encoders.py:77-84) — the downstream transformer learns its own
+    code embedding."""
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        return self._encode_codes(flat).reshape(b, -1)
+
+    __call__ = encode
+
+
+@dataclasses.dataclass
+class TemporalNNCodeEncoder(_VQBase):
+    """Per-neighbor code sequences: [B,n,k,h,w,3] → int [B, n*k, h'*w']
+    (nn_encoders.py:87-105)."""
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        idx = self._encode_codes(flat)
+        return idx.reshape(b, n * k, -1)
+
+    __call__ = encode
+
+
+@dataclasses.dataclass
+class TemporalNNZEncoder(_VQBase):
+    """One flattened latent vector per neighbor: [B,n,k,h,w,3] →
+    [B, n*k, h'*w'*c] (nn_encoders.py:108-126)."""
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        z = self._encode_z(flat)
+        return z.reshape(b, n * k, -1)
+
+    __call__ = encode
+
+
+@dataclasses.dataclass
+class SpatioTemporalConcatZNNEncoder(_VQBase):
+    """Neighbors concatenated along CHANNELS, spatial map kept —
+    channel-concat conditioning for the U-Net concat/hybrid keys:
+    [B,n,k,h,w,3] → [B, h', w', n*k*c] (nn_encoders.py:148-180, NHWC)."""
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        z = self._encode_z(flat)
+        _, hp, wp, c = z.shape
+        z = z.reshape(b, n * k, hp, wp, c)
+        z = jnp.transpose(z, (0, 2, 3, 1, 4))  # [b, h, w, nk, c]
+        return z.reshape(b, hp, wp, n * k * c)
+
+    __call__ = encode
+
+
+@dataclasses.dataclass
+class SpatioTemporalConcatCodeNNEncoder(_VQBase):
+    """Code-id maps per neighbor: [B,n,k,h,w,3] → int [B, n*k, h', w']
+    (nn_encoders.py:180-186)."""
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        idx = self._encode_codes(flat)
+        return idx.reshape(b, n * k, *idx.shape[1:])
+
+    __call__ = encode
+
+
+@dataclasses.dataclass
+class VQConcatNNEncoder(_VQBase):
+    """List of n*k pre-quant latent maps [B, h', w', c] — per-depth context
+    lists for SpatialTransformer (nn_encoders.py:188-201)."""
+
+    def encode(self, patches: jnp.ndarray) -> list:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        z = self._encode_z(flat)
+        _, hp, wp, c = z.shape
+        z = z.reshape(b, n * k, hp, wp, c)
+        return [z[:, i] for i in range(n * k)]
+
+    __call__ = encode
+
+
+@dataclasses.dataclass
+class DimensionStackerVQEncoder(_VQBase):
+    """Spatial sites as tokens, neighbors stacked in the feature dim:
+    [B,n,k,h,w,3] → [B, h'*w', n*k*c] (nn_encoders.py:224-241)."""
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        z = self._encode_z(flat)
+        _, hp, wp, c = z.shape
+        z = z.reshape(b, n * k, hp * wp, c)
+        z = jnp.transpose(z, (0, 2, 1, 3))  # [b, hw, nk, c]
+        return z.reshape(b, hp * wp, n * k * c)
+
+    __call__ = encode
+
+
+@dataclasses.dataclass
+class PixelNNEncoderUnetConcatenator:
+    """Arbitrary per-neighbor encoder + a spatial backbone over the
+    channel-concat of all neighbor features (nn_encoders.py:204-222):
+    [B,n,k,h,w,3] → encoder per neighbor → [B, h', w', n*k*c] → backbone.
+
+    encoder: [N, h, w, 3] → [N, h', w', c] (e.g. a frozen VQ encode_prequant
+    closure); backbone: [B, h', w', n*k*c] → spatial conditioning map.
+    """
+
+    encoder: Any
+    backbone: Any
+
+    def encode(self, patches: jnp.ndarray) -> jnp.ndarray:
+        b, n, k = patches.shape[:3]
+        flat = patches.reshape((b * n * k,) + patches.shape[3:])
+        feats = self.encoder(flat)
+        _, hp, wp, c = feats.shape
+        feats = feats.reshape(b, n * k, hp, wp, c)
+        feats = jnp.transpose(feats, (0, 2, 3, 1, 4))
+        return self.backbone(feats.reshape(b, hp, wp, n * k * c))
+
+    __call__ = encode
+
+
 class VQGANAggregator(nn.Module):
     """Learned per-neighbor pooling: spatial VQ tokens + a CLS token
     through a small transformer; the CLS outputs become the neighbor
@@ -167,6 +299,39 @@ class VQGANAggregator(nn.Module):
         out = nn.Dense(self.out_dim, dtype=self.dtype,
                        param_dtype=jnp.float32, name="proj_out")(pooled)
         return out.reshape(bk // k, k, self.out_dim)
+
+
+# The reference distinguishes VQGANAggregator (code-id input, learned token
+# embedding, nn_encoders.py:255-312) from ContinuousVQGANAggregator (raw VQ
+# latents + Linear proj_in, :315-391). This module's Dense proj_in IS the
+# continuous variant; alias it and add the code-id front end below.
+ContinuousVQGANAggregator = VQGANAggregator
+
+
+class CodeVQGANAggregator(nn.Module):
+    """Code-id neighbors → learned token embedding → BERT-style CLS pooling
+    (the reference's *discrete* VQGANAggregator, nn_encoders.py:255-312).
+
+    __call__(ids int [B*k, T], k) → [B, k, out_dim].
+    """
+
+    num_tokens: int
+    embed_dim: int = 512
+    out_dim: int = 512
+    depth: int = 2
+    heads: int = 8
+    head_dim: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray, k: int) -> jnp.ndarray:
+        tokens = nn.Embed(self.num_tokens, self.embed_dim,
+                          dtype=self.dtype, param_dtype=jnp.float32,
+                          name="token_emb")(ids)
+        return VQGANAggregator(
+            out_dim=self.out_dim, depth=self.depth, heads=self.heads,
+            head_dim=self.head_dim, dtype=self.dtype,
+            name="aggregator")(tokens, k)
 
 
 class VQGANNNAttender(nn.Module):

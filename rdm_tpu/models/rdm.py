@@ -54,6 +54,19 @@ class RDMConfig:
     k_nn: int = 4
     n_patches_per_side: int = 1
     context_dim: int = 512
+    # conditioning routing (reference ddpm.py:30-32, 60-131): how assembled
+    # conditioning enters the U-Net. "retro_only"/"crossattn" = context via
+    # cross-attention (all released configs); "concat" = channel concat;
+    # "hybrid" = both; "adm" = class label through the U-Net label embedding.
+    conditioning_key: str = "retro_only"
+    # learnable neighbor encoder (reference init_nn_encoder ddpm.py:221-241;
+    # its params live inside the RDM param tree, so the optimizer covers
+    # them exactly like the reference's extended optimizer scope
+    # ddpm.py:1013-1042). None => identity flatten of CLIP embeddings.
+    nn_encoder: Optional[str] = None  # None | "aggregator" | "attender"
+    nn_encoder_depth: int = 2
+    nn_encoder_heads: int = 8
+    nn_encoder_head_dim: int = 64
     p_uncond: float = 0.0
     scale_factor: float = 1.0
     parameterization: str = "eps"  # "eps" | "x0"
@@ -83,9 +96,26 @@ class RDM(nn.Module):
     config: RDMConfig
     dtype: Dtype = jnp.float32
 
+    _COND_KEYS = ("retro_only", "crossattn", "concat", "hybrid", "adm")
+
     def setup(self):
         cfg = self.config
+        if cfg.conditioning_key not in self._COND_KEYS:
+            raise ValueError(f"unknown conditioning_key "
+                             f"'{cfg.conditioning_key}' (one of "
+                             f"{self._COND_KEYS})")
         self.unet = UNet(cfg.unet, dtype=self.dtype)
+        if cfg.nn_encoder is not None:
+            from rdm_tpu.models.nn_encoders import (VQGANAggregator,
+                                                    VQGANNNAttender)
+            enc_cls = {"aggregator": VQGANAggregator,
+                       "attender": VQGANNNAttender}.get(cfg.nn_encoder)
+            if enc_cls is None:
+                raise ValueError(f"unknown nn_encoder '{cfg.nn_encoder}'")
+            self.nn_encoder_mod = enc_cls(
+                out_dim=cfg.context_dim, depth=cfg.nn_encoder_depth,
+                heads=cfg.nn_encoder_heads,
+                head_dim=cfg.nn_encoder_head_dim, dtype=self.dtype)
         self.unconditional_guidance_vex = self.param(
             "unconditional_guidance_vex",
             nn.initializers.normal(1.0),
@@ -99,9 +129,57 @@ class RDM(nn.Module):
             self.logvar = jnp.full((cfg.timesteps,), cfg.logvar_init,
                                    dtype=jnp.float32)
 
-    def __call__(self, x, t, context, *, deterministic: bool = True):
-        """eps-prediction forward. context: [B, S, context_dim] or None."""
-        return self.unet(x, t, context, deterministic=deterministic)
+    def __call__(self, x, t, context, y=None, concat=None, *,
+                 deterministic: bool = True):
+        """eps-prediction forward, routed by conditioning_key.
+
+        context: [B, S, context_dim] or None (cross-attention paths);
+        y: [B] int class labels (adm); concat: [B, H, W, Cc] channel-concat
+        conditioning (concat/hybrid). Mirrors DiffusionWrapper.forward
+        (reference ddpm.py:60-80) as explicit arguments instead of a
+        key-dispatched cond dict.
+        """
+        key = self.config.conditioning_key
+        if context is not None and context.ndim != 3:
+            context = self.encode_neighbors(context)
+        if key in ("concat", "hybrid"):
+            if concat is None:
+                raise ValueError(f"conditioning_key={key} requires concat")
+            x = jnp.concatenate([x, concat.astype(x.dtype)], axis=-1)
+        if key == "concat":
+            context = None
+        if key == "adm":
+            if y is None:
+                raise ValueError("conditioning_key=adm requires labels y")
+            context = None
+        return self.unet(x, t, context, y=y, deterministic=deterministic)
+
+    def encode_neighbors(self, neighbors: jnp.ndarray) -> jnp.ndarray:
+        """Neighbors → cross-attention context [B, S, context_dim].
+
+        [B, n, k, D]: CLIP embeddings — identity flatten (ddpm.py:365), or
+        per-neighbor learned pooling when nn_encoder is set.
+        [B, n, k, T, c]: token sequences per neighbor (e.g. VQ latents of
+        nn_patches) — requires a learned nn_encoder (aggregator/attender,
+        reference nn_encoders.py:255-415).
+        """
+        cfg = self.config
+        if neighbors.ndim == 3:
+            return neighbors  # already [B, S, D]
+        if neighbors.ndim == 4:
+            b, n, k, d = neighbors.shape
+            if cfg.nn_encoder is None:
+                return neighbors.reshape(b, n * k, d)
+            tokens = neighbors.reshape(b * n * k, 1, d)
+            return self.nn_encoder_mod(tokens, k=n * k)
+        if neighbors.ndim == 5:
+            if cfg.nn_encoder is None:
+                raise ValueError("token-sequence neighbors [B,n,k,T,c] "
+                                 "need a learned nn_encoder")
+            b, n, k, t, c = neighbors.shape
+            tokens = neighbors.reshape(b * n * k, t, c)
+            return self.nn_encoder_mod(tokens, k=n * k)
+        raise ValueError(f"bad neighbor rank {neighbors.ndim}")
 
     def uncond_context(self, batch: int, seq_len: int,
                       guidance_label: Optional[float] = None) -> jnp.ndarray:
@@ -113,26 +191,26 @@ class RDM(nn.Module):
         return jnp.broadcast_to(vex, (batch, seq_len, vex.shape[-1]))
 
     def training_loss(self, z, neighbors, rng, schedule: DiffusionSchedule,
-                      *, deterministic: bool = False):
+                      *, y=None, concat=None, deterministic: bool = False):
         """One diffusion training objective evaluation.
 
         Args:
           z: latents [B, H, W, C] (already first-stage-encoded and scaled).
-          neighbors: retrieved embeddings [B, n_patches^2, k, D] or
-            pre-flattened [B, S, D].
+          neighbors: retrieved embeddings [B, n_patches^2, k, D],
+            pre-flattened [B, S, D], or per-neighbor token sequences
+            [B, n, k, T, c] (learned nn_encoder paths). None for
+            concat/adm-only conditioning.
+          y / concat: extra conditioning per conditioning_key.
           rng: PRNG key.
         Returns (loss, dict of metrics).
         """
         cfg = self.config
         b = z.shape[0]
-        if neighbors.ndim == 4:
-            n, k, d = neighbors.shape[1:]
-            context = neighbors.reshape(b, n * k, d)  # b n k d -> b (n k) d
-        else:
-            context = neighbors
+        context = (self.encode_neighbors(neighbors)
+                   if neighbors is not None else None)
         t_rng, noise_rng, drop_rng, retro_rng = jax.random.split(rng, 4)
 
-        if cfg.p_uncond > 0.0:
+        if context is not None and cfg.p_uncond > 0.0:
             drop = jax.random.bernoulli(drop_rng, cfg.p_uncond, (b,))
             uncond = self.uncond_context(b, context.shape[1])
             context = jnp.where(drop[:, None, None], uncond, context)
@@ -140,12 +218,13 @@ class RDM(nn.Module):
         t = jax.random.randint(t_rng, (b,), 0, cfg.timesteps)
         noise = jax.random.normal(noise_rng, z.shape, dtype=jnp.float32)
         x_noisy = q_sample(schedule, z, t, noise)
-        if cfg.retro_noise:
+        if cfg.retro_noise and context is not None:
             ctx_noise = jax.random.normal(retro_rng, context.shape,
                                           dtype=jnp.float32)
             context = q_sample(schedule, context, t, ctx_noise)
 
-        pred = self(x_noisy, t, context, deterministic=deterministic)
+        pred = self(x_noisy, t, context, y=y, concat=concat,
+                    deterministic=deterministic)
         target = noise if cfg.parameterization == "eps" else z
 
         err = (pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2
@@ -168,11 +247,20 @@ def flatten_neighbors(neighbors: jnp.ndarray) -> jnp.ndarray:
     return neighbors.reshape(b, n * k, d)
 
 
-def make_denoise_fn(model: RDM, params):
-    """Bind params: (x, t, context) -> eps."""
+def make_denoise_fn(model: RDM, params, *, y=None, concat=None):
+    """Bind params (+ static extra conditioning): (x, t, context) -> eps.
+
+    For concat/hybrid/adm sampling the per-sample extra conditioning is
+    closed over and, under CFG batch-doubling, tiled to the doubled batch.
+    """
 
     def fn(x, t, context):
-        return model.apply(params, x, t, context)
+        yy, cc = y, concat
+        if yy is not None and x.shape[0] == 2 * yy.shape[0]:
+            yy = jnp.concatenate([yy, yy], axis=0)
+        if cc is not None and x.shape[0] == 2 * cc.shape[0]:
+            cc = jnp.concatenate([cc, cc], axis=0)
+        return model.apply(params, x, t, context, y=yy, concat=cc)
 
     return fn
 
@@ -186,22 +274,31 @@ def sample_with_neighbors(
     rng: jax.Array,
     *,
     guidance_label: Optional[float] = None,
+    y=None,
+    concat=None,
 ) -> jnp.ndarray:
     """DDIM-sample latents conditioned on a neighbor sequence.
 
-    neighbors: [B, n, k, D] or [B, S, D]. Returns latents [B, H, W, C];
-    decode with the first stage. The whole call is jit-able.
+    neighbors: [B, n, k, D], [B, S, D], or token sequences [B, n, k, T, c]
+    when the model has a learned nn_encoder. y/concat route per
+    conditioning_key. Returns latents [B, H, W, C]; decode with the first
+    stage. The whole call is jit-able.
     """
     cfg = model.config
-    if neighbors.ndim == 4:
-        neighbors = flatten_neighbors(neighbors)
-    b, s, _ = neighbors.shape
-    shape = (b, cfg.image_size, cfg.image_size, cfg.channels)
     uncond = None
-    if sampler.guidance_scale != 1.0:
-        uncond = model.apply(params, b, s, guidance_label,
-                             method=RDM.uncond_context)
+    if neighbors is not None:
+        neighbors = model.apply(params, neighbors,
+                                method=RDM.encode_neighbors)
+        b, s, _ = neighbors.shape
+        if sampler.guidance_scale != 1.0:
+            uncond = model.apply(params, b, s, guidance_label,
+                                 method=RDM.uncond_context)
+    else:  # concat/adm-only conditioning
+        b = y.shape[0] if y is not None else concat.shape[0]
+        if sampler.guidance_scale != 1.0:
+            raise ValueError("CFG needs a neighbor context")
+    shape = (b, cfg.image_size, cfg.image_size, cfg.channels)
     x, _ = ddim_sample(
-        make_denoise_fn(model, params), schedule, sampler, shape,
-        neighbors, rng, uncond_context=uncond)
+        make_denoise_fn(model, params, y=y, concat=concat), schedule,
+        sampler, shape, neighbors, rng, uncond_context=uncond)
     return x / cfg.scale_factor

@@ -21,6 +21,7 @@ Job-array splitting via --parts/--part_no (reference :519-527).
 from __future__ import annotations
 
 import argparse
+import glob as globlib
 import os
 import pickle
 import sys
@@ -28,6 +29,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+from PIL import Image
 
 
 def parse_args():
@@ -62,7 +64,59 @@ def parse_args():
                    default="device",
                    help="kNN backend: TPU matmul top-k or the native C++ "
                         "host searcher")
+    p.add_argument("--save_patches", action="store_true",
+                   help="pass 2 (reference search_neighbors.py:564-599): "
+                        "crop every retrieved neighbor from the db images "
+                        "and save as PNGs + nns-{n}_patches.p metafile, so "
+                        "QueryDataset(load_patches=True) needs no live "
+                        "re-crop")
     return p.parse_args()
+
+
+def save_nn_patches(out_dir: str, rset, n_values, k: int) -> None:
+    """Pass 2: save each retrieved neighbor's pixels once as a PNG under
+    nn_patches/ and write nns-{n}_patches.p mapping query idx → the k·p²
+    relative paths (reference PatchSaverDataset semantics, single-process:
+    grouped by retrieval image so each source image is decoded once)."""
+    shards = sorted(globlib.glob(os.path.join(out_dir, "nn_paths_p*.p")))
+    nn_paths = {}
+    for s in shards:
+        with open(s, "rb") as f:
+            nn_paths.update(pickle.load(f))
+    patch_dir = os.path.join(out_dir, "nn_patches")
+    os.makedirs(patch_dir, exist_ok=True)
+    for n in n_values:
+        by_img = {}
+        meta = {qid: np.full((n * n * k,), "", dtype=object)
+                for qid in nn_paths}
+        for qid, rel in nn_paths.items():
+            with open(os.path.join(out_dir, rel), "rb") as f:
+                payload = pickle.load(f)[n]
+            ids = np.asarray(payload["img_ids"]).reshape(n * n, k)
+            pcs = np.asarray(payload["patch_coords"]).reshape(n * n, k, -1)
+            for patch_id in range(n * n):
+                for nn_id in range(k):
+                    by_img.setdefault(int(ids[patch_id, nn_id]), []).append(
+                        (qid, patch_id, nn_id, pcs[patch_id, nn_id]))
+        for img_id, uses in by_img.items():
+            image = rset[img_id]["image"]
+            for qid, patch_id, nn_id, coords in uses:
+                x1, y1, x2, y2 = [int(v) for v in coords]
+                name = (f"{img_id:09d}-patch_"
+                        + "-".join(f"{c:04d}" for c in (x1, y1, x2, y2))
+                        + ".png")
+                relname = "nn_patches/" + name
+                savepath = os.path.join(patch_dir, name)
+                if not os.path.isfile(savepath):
+                    patch = image[y1:y2, x1:x2]
+                    arr = np.clip((patch + 1.0) * 127.5, 0, 255
+                                  ).astype(np.uint8)
+                    Image.fromarray(arr).save(savepath)
+                meta[qid][patch_id * k + nn_id] = relname
+        metafile = os.path.join(out_dir, f"nns-{n * n}_patches.p")
+        with open(metafile, "wb") as f:
+            pickle.dump(meta, f)
+        print(f"nn patches for n={n} -> {metafile}")
 
 
 def make_embedder(opt):
@@ -203,6 +257,12 @@ def main():
         mem = NNMemory.build(np.concatenate(all_nn_ids, axis=0))
         mem.save(opt.build_nn_memory)
         print(f"nn_memory ({len(mem.ids)} ids) -> {opt.build_nn_memory}")
+    if opt.save_patches:
+        rset = builder.patcher.data if builder.patcher is not None else None
+        if rset is None:
+            raise SystemExit("--save_patches needs the db source images; "
+                             "pass --build_filelist")
+        save_nn_patches(opt.out, rset, n_values, opt.k)
     print(f"Done: {len(nn_paths)} query images, {len(corrupts)} corrupt")
 
 

@@ -167,3 +167,133 @@ def test_collation_and_loader(image_dir):
               [next(iter(DataLoader(ds, 2, shuffle=True, seed=s)))
                for s in range(5)]]
     assert len(set(orders)) > 1
+
+
+def _nn_fixture_with_coords(tmp_path, ds, k=2, ps=8):
+    """Neighbor pickles whose (img_ids, patch_coords) point into ds."""
+    rng = np.random.default_rng(0)
+    nn_dir = tmp_path / "nns"
+    nn_dir.mkdir(exist_ok=True)
+    paths = {}
+    for i in range(len(ds)):
+        ids = rng.integers(0, len(ds), (1, k))
+        coords = []
+        for _ in range(k):
+            x1 = int(rng.integers(0, 32 - ps))
+            y1 = int(rng.integers(0, 32 - ps))
+            coords.append([x1, y1, x1 + ps, y1 + ps])
+        payload = {1: {
+            "embeddings": rng.standard_normal((1, k, 8)).astype(np.float32),
+            "img_ids": ids,
+            "patch_coords": np.asarray(coords)[None],
+        }}
+        rel = f"nns_img{i:09d}.p"
+        with open(nn_dir / rel, "wb") as f:
+            pickle.dump(payload, f)
+        paths[i] = rel
+    with open(nn_dir / "nn_paths_p0.p", "wb") as f:
+        pickle.dump(paths, f)
+    return nn_dir
+
+
+def test_query_dataset_live_nn_patches(tmp_path, image_dir):
+    """load_patches with a retrieval dataset re-crops neighbor pixels by
+    (img_id, patch_coords) — reference base.py:997-1026."""
+    ds = ImagePaths(image_dir, size=32)
+    nn_dir = _nn_fixture_with_coords(tmp_path, ds)
+    q = QueryDataset(ds, nns=str(nn_dir), load_patches=True, rset=ds)
+    s = q[0]
+    assert s["nn_patches"].shape == (1, 2, 8, 8, 3)
+    assert s["nn_patches"].dtype == np.float32
+    # the crop really comes from the pointed-to image
+    with open(nn_dir / "nns_img000000000.p", "rb") as f:
+        payload = pickle.load(f)[1]
+    img_id = int(payload["img_ids"][0, 0])
+    x1, y1, x2, y2 = payload["patch_coords"][0, 0]
+    np.testing.assert_allclose(
+        s["nn_patches"][0, 0], ds[img_id]["image"][y1:y2, x1:x2], atol=1e-6)
+    # k-slice applies to patches too
+    q1 = QueryDataset(ds, nns=str(nn_dir), load_patches=True, rset=ds, k=1)
+    assert q1[0]["nn_patches"].shape == (1, 1, 8, 8, 3)
+
+
+def test_query_dataset_presaved_nn_patches(tmp_path, image_dir):
+    """load_patches from the pre-saved PNG metafile (pass-2 output,
+    reference base.py:945-958) — no rset needed."""
+    ds = ImagePaths(image_dir, size=32)
+    nn_dir = _nn_fixture_with_coords(tmp_path, ds)
+    patch_dir = nn_dir / "nn_patches"
+    patch_dir.mkdir()
+    rng = np.random.default_rng(1)
+    meta = {}
+    for i in range(len(ds)):
+        rels = []
+        for j in range(2):
+            arr = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+            name = f"q{i}-nn{j}.png"
+            Image.fromarray(arr).save(patch_dir / name)
+            rels.append("nn_patches/" + name)
+        meta[i] = np.asarray(rels, dtype=object)
+    with open(nn_dir / "nns-1_patches.p", "wb") as f:
+        pickle.dump(meta, f)
+    q = QueryDataset(ds, nns=str(nn_dir), load_patches=True)
+    s = q[2]
+    assert s["nn_patches"].shape == (1, 2, 8, 8, 3)
+    assert s["nn_patches"].min() >= -1.0 and s["nn_patches"].max() <= 1.0
+    # missing both metafile and rset is a hard error
+    import shutil
+    bare = tmp_path / "bare_nns"
+    bare.mkdir()
+    for f in nn_dir.glob("nn*.p"):
+        if "patches" not in f.name:
+            shutil.copy(f, bare / f.name)
+    with pytest.raises(ValueError):
+        QueryDataset(ds, nns=str(bare), load_patches=True)
+
+
+def test_nn_patches_feed_vq_encoder_training():
+    """End-to-end pixel-neighbor conditioning: a QueryDataset-shaped
+    nn_patches batch goes through a frozen ClassicVQEncoder-style VQ into a
+    learnable-aggregator RDM training_loss (VERDICT #3/#6 done criterion)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
+    from rdm_tpu.models.nn_encoders import TemporalNNZEncoder
+    from rdm_tpu.models.rdm import RDM, RDMConfig
+    from rdm_tpu.models.unet import UNetConfig
+    from rdm_tpu.ops.schedules import DiffusionSchedule
+
+    vq_cfg = AutoencoderConfig(ch=8, ch_mult=(1, 2), num_res_blocks=1,
+                               resolution=8, z_channels=4, embed_dim=4,
+                               n_embed=16)
+    vq = VQModel(vq_cfg)
+    vq_params = vq.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+
+    # batch as produced by QueryDataset(load_patches=True)
+    nn_patches = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (2, 1, 2, 8, 8, 3)).astype(np.float32))
+    b, n, k = nn_patches.shape[:3]
+    flat = nn_patches.reshape((b * n * k,) + nn_patches.shape[3:])
+    z_tokens = vq.apply(vq_params, flat, method=VQModel.encode_prequant)
+    tokens = z_tokens.reshape(b, n, k, -1, z_tokens.shape[-1])
+
+    unet = UNetConfig(in_channels=2, out_channels=2, model_channels=16,
+                      num_res_blocks=1, attention_resolutions=(1,),
+                      channel_mult=(1, 2), num_head_channels=8,
+                      context_dim=8)
+    cfg = RDMConfig(unet=unet, image_size=8, channels=2, timesteps=20,
+                    context_dim=8, k_nn=2, nn_encoder="aggregator",
+                    nn_encoder_depth=1, nn_encoder_heads=2,
+                    nn_encoder_head_dim=4)
+    model = RDM(cfg)
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 8, 2))
+    params = model.init(jax.random.PRNGKey(2), z, jnp.asarray([0, 1]),
+                        tokens)
+    schedule = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    loss, metrics = model.apply(params, z, tokens, jax.random.PRNGKey(3),
+                                schedule, method=RDM.training_loss)
+    assert np.isfinite(float(loss))
+    # TemporalNNZEncoder round-trips the same patches for comparison
+    tz = TemporalNNZEncoder(vq, vq_params).encode(nn_patches)
+    assert tz.shape == (2, 2, 16 * 4)

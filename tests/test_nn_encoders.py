@@ -67,3 +67,57 @@ def test_learned_aggregators():
     out2 = att.apply(p2, tokens, 3)
     assert out2.shape == (2, 3, 32)
     assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_remaining_vq_encoder_zoo_shapes():
+    """The rest of the reference zoo (nn_encoders.py:77-241): temporal,
+    spatio-temporal-concat, VQ-concat, dimension-stacker, pixel-unet."""
+    from rdm_tpu.models.nn_encoders import (
+        DimensionStackerVQEncoder,
+        PixelNNEncoderUnetConcatenator,
+        SpatioTemporalCodeNNEncoder,
+        SpatioTemporalConcatCodeNNEncoder,
+        SpatioTemporalConcatZNNEncoder,
+        TemporalNNCodeEncoder,
+        TemporalNNZEncoder,
+        VQConcatNNEncoder,
+    )
+
+    vq, params = _vq()
+    patches = jnp.zeros((2, 1, 3, 8, 8, 3))  # f2 VQ: 4x4 latent, c=4
+    codes = SpatioTemporalCodeNNEncoder(vq, params).encode(patches)
+    assert codes.shape == (2, 3 * 16)
+    tcodes = TemporalNNCodeEncoder(vq, params).encode(patches)
+    assert tcodes.shape == (2, 3, 16)
+    tz = TemporalNNZEncoder(vq, params).encode(patches)
+    assert tz.shape == (2, 3, 16 * 4)
+    cz = SpatioTemporalConcatZNNEncoder(vq, params).encode(patches)
+    assert cz.shape == (2, 4, 4, 3 * 4)  # NHWC channel concat
+    cc = SpatioTemporalConcatCodeNNEncoder(vq, params).encode(patches)
+    assert cc.shape == (2, 3, 4, 4)
+    lst = VQConcatNNEncoder(vq, params).encode(patches)
+    assert isinstance(lst, list) and len(lst) == 3
+    assert lst[0].shape == (2, 4, 4, 4)
+    ds = DimensionStackerVQEncoder(vq, params).encode(patches)
+    assert ds.shape == (2, 16, 3 * 4)
+    pix = PixelNNEncoderUnetConcatenator(
+        encoder=lambda x: vq.apply(params, x,
+                                   method=VQModel.encode_prequant),
+        backbone=lambda f: f * 2.0)
+    out = pix.encode(patches)
+    assert out.shape == (2, 4, 4, 3 * 4)
+
+
+def test_code_aggregator():
+    from rdm_tpu.models.nn_encoders import (CodeVQGANAggregator,
+                                            ContinuousVQGANAggregator)
+
+    assert ContinuousVQGANAggregator is VQGANAggregator
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(0, 16, (6, 16)), dtype=jnp.int32)
+    agg = CodeVQGANAggregator(num_tokens=16, embed_dim=16, out_dim=24,
+                              depth=1, heads=2, head_dim=8)
+    params = agg.init(jax.random.PRNGKey(0), ids, 3)
+    out = agg.apply(params, ids, 3)
+    assert out.shape == (2, 3, 24)
+    assert np.isfinite(np.asarray(out)).all()
