@@ -300,6 +300,11 @@ class QueryDataset:
     def __len__(self):
         return len(self.data)
 
+    def get_subset_by_label_range(self, label_range):
+        """Delegate to the wrapped dataset (reference base.py:941-943) so
+        SubsetShard label filtering works through the neighbor join."""
+        return self.data.get_subset_by_label_range(label_range=label_range)
+
     def get_patches(self, idx: int) -> np.ndarray:
         """Pre-saved neighbor PNGs → [p², k, h, w, 3] float [-1,1]
         (reference base.py:949-958)."""

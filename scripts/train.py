@@ -85,38 +85,51 @@ def main():
     fs_cfg = first_stage_config_from_yaml(cfg)
     is_rarm = isinstance(model_cfg, RARMConfig)
 
+    from rdm_tpu.data.registry import (apply_sampler_config,
+                                       instantiate_dataset)
+    from rdm_tpu.parallel.distributed import host_info
+
     data_cfg = cfg.get("data", {}).get("params", {})
     batch_size = data_cfg.get("batch_size", 4)
-    train_cfg = data_cfg.get("train", {}).get("params", {})
+    train_node = data_cfg.get("train", {}) or {}
+    train_cfg = train_node.get("params", {})
+    sampler_cfg = data_cfg.get("sampler_config")
+    k_nn = getattr(model_cfg, "k_nn", 4)
+    npp = getattr(model_cfg, "n_patches_per_side", 1)
 
-    # dataset: filelist-driven images + precomputed neighbor pickles
-    filelist = train_cfg.get("filelist")
-    nns = train_cfg.get("nns")
-    if filelist and os.path.isfile(filelist):
-        with open(filelist) as f:
-            paths = [l.strip() for l in f if l.strip()]
-        base = ImagePaths(paths, size=train_cfg.get("size", 256))
-        k_nn = getattr(model_cfg, "k_nn", 4)
-        npp = getattr(model_cfg, "n_patches_per_side", 1)
-        dataset = QueryDataset(base, nns=nns, k=k_nn,
-                               n_patches_per_side=npp)
-    else:
+    def build_split(node):
+        """config-target datasets (reference main.py:777-799, released
+        YAMLs like configs/rdm/imagenet.yaml) or the filelist shortcut."""
+        params = node.get("params", {})
+        if "target" in node:
+            ds = instantiate_dataset(node)
+            rank, world = host_info()
+            return apply_sampler_config(ds, sampler_cfg, rank=rank,
+                                        world_size=world)
+        filelist = params.get("filelist")
+        if filelist and os.path.isfile(filelist):
+            with open(filelist) as f:
+                paths = [l.strip() for l in f if l.strip()]
+            base = ImagePaths(paths, size=params.get("size", 256))
+            return QueryDataset(base, nns=params.get("nns"), k=k_nn,
+                                n_patches_per_side=npp)
+        return None
+
+    dataset = build_split(train_node)
+    if dataset is None:
         raise SystemExit(
-            "data.params.train.params.filelist must point to an image "
-            "filelist (one path per line); neighbor pickles via .nns")
+            "data.params.train needs a `target:` dataset config "
+            "(reference YAML) or params.filelist (one image path per "
+            "line; neighbor pickles via params.nns)")
 
     loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
                         num_workers=opt.num_workers, seed=opt.seed)
 
     val_loader = None
-    val_cfg = data_cfg.get("validation", {}).get("params", {})
-    if val_cfg.get("filelist") and os.path.isfile(val_cfg["filelist"]):
-        with open(val_cfg["filelist"]) as f:
-            vpaths = [l.strip() for l in f if l.strip()]
-        vds = QueryDataset(
-            ImagePaths(vpaths, size=val_cfg.get("size", 256)),
-            nns=val_cfg.get("nns"), k=k_nn, n_patches_per_side=npp)
-        val_loader = DataLoader(vds, batch_size=batch_size, shuffle=False)
+    val_ds = build_split(data_cfg.get("validation", {}) or {})
+    if val_ds is not None:
+        val_loader = DataLoader(val_ds, batch_size=batch_size,
+                                shuffle=False)
 
     import math
 
