@@ -147,31 +147,51 @@ class SemanticOpenImagesValidation(SemanticOpenImagesBase):
 
 
 class SuperresOpenImagesBase(FullOpenImagesBase):
-    """LR/HR super-resolution pairs with BSR-style degradation
-    (reference openimages.py:257-466): HR crop + downscale by
-    `down_factor` with bicubic + optional noise, returned as
-    {'image' (HR), 'LR_image'}.
+    """LR/HR super-resolution pairs (reference openimages.py:257-466):
+    HR crop + degraded LR, returned as {'image' (HR), 'LR_image'}.
+
+    degradation: "bsrgan" (default, the reference's BSR practical
+    degradation model — see rdm_tpu.data.degradation), "bsrgan_light",
+    or a plain interpolation name ("bicubic"/"bilinear"/"nearest", with
+    optional additive noise_level) matching the reference's
+    albumentations fallback (openimages.py:321-331).
     """
 
     def __init__(self, root: str, size: int = 256, down_factor: int = 4,
-                 noise_level: float = 0.0,
+                 degradation: str = "bsrgan", noise_level: float = 0.0,
                  max_images: Optional[int] = None, seed: int = 0):
         super().__init__(root, size=size, max_images=max_images)
         self.down_factor = down_factor
+        self.degradation = degradation
         self.noise_level = noise_level
         self.rng = np.random.default_rng(seed)
 
     def __getitem__(self, i: int):
+        from PIL import Image as _Image
+
         from rdm_tpu.data.base import _resize
 
         out = super().__getitem__(i)
-        hr = out["image"]
+        hr = out["image"]  # float [-1, 1]
         h, w = hr.shape[:2]
-        lr = _resize(hr, (h // self.down_factor, w // self.down_factor))
-        if self.noise_level > 0:
-            lr = lr + self.noise_level * self.rng.standard_normal(
-                lr.shape).astype(np.float32)
-        out["LR_image"] = np.clip(lr, -1.0, 1.0)
+        if self.degradation in ("bsrgan", "bsrgan_light"):
+            from rdm_tpu.data.degradation import degradation_bsr
+
+            lr01 = degradation_bsr(
+                (hr + 1.0) / 2.0, sf=self.down_factor, rng=self.rng,
+                light=self.degradation == "bsrgan_light")
+            lr = lr01 * 2.0 - 1.0
+        else:
+            method = {"nearest": _Image.NEAREST,
+                      "bilinear": _Image.BILINEAR,
+                      "bicubic": _Image.BICUBIC,
+                      "lanczos": _Image.LANCZOS}[self.degradation]
+            lr = _resize(hr, (h // self.down_factor,
+                              w // self.down_factor), method)
+            if self.noise_level > 0:
+                lr = lr + self.noise_level * self.rng.standard_normal(
+                    lr.shape).astype(np.float32)
+        out["LR_image"] = np.clip(lr, -1.0, 1.0).astype(np.float32)
         return out
 
 

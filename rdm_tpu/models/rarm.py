@@ -136,12 +136,16 @@ class _Block(nn.Module):
 
 
 class DecodeCache(NamedTuple):
-    """Static-shape KV caches: self[depth][B,T,H,D] x2, cross precomputed."""
+    """Static-shape KV caches, one array PER LAYER (tuples, not a stacked
+    [depth, ...] array): each decode step then updates only its own layer's
+    [B, T, H, D] buffer with one dynamic_update_slice, instead of routing
+    every update through a full-stack gather/scatter that XLA may
+    materialize as whole-cache copies 2x per layer per step."""
 
-    self_k: jnp.ndarray  # [depth, B, T, H, D]
-    self_v: jnp.ndarray
-    cross_k: jnp.ndarray  # [depth, B, S_ctx, H, D]
-    cross_v: jnp.ndarray
+    self_k: Tuple[jnp.ndarray, ...]  # depth x [B, T, H, D]
+    self_v: Tuple[jnp.ndarray, ...]
+    cross_k: Tuple[jnp.ndarray, ...]  # depth x [B, S_ctx, H, D]
+    cross_v: Tuple[jnp.ndarray, ...]
 
 
 class RARM(nn.Module):
@@ -186,17 +190,19 @@ class RARM(nn.Module):
     def init_cache(self, batch: int, context) -> DecodeCache:
         cfg = self.config
         t = cfg.seq_len  # decode sequence [SOS, t0..t_{S-2}]
-        shape = (cfg.depth, batch, t, cfg.heads, cfg.head_dim)
+        shape = (batch, t, cfg.heads, cfg.head_dim)
         cross_k, cross_v = [], []
         for block in self.blocks:
             k, v = block.attn2.project_kv(context.astype(self.dtype))
             cross_k.append(k)
             cross_v.append(v)
         return DecodeCache(
-            self_k=jnp.zeros(shape, dtype=self.dtype),
-            self_v=jnp.zeros(shape, dtype=self.dtype),
-            cross_k=jnp.stack(cross_k),
-            cross_v=jnp.stack(cross_v))
+            self_k=tuple(jnp.zeros(shape, dtype=self.dtype)
+                         for _ in range(cfg.depth)),
+            self_v=tuple(jnp.zeros(shape, dtype=self.dtype)
+                         for _ in range(cfg.depth)),
+            cross_k=tuple(cross_k),
+            cross_v=tuple(cross_v))
 
     def decode_step(self, token, pos, cache: DecodeCache
                     ) -> Tuple[jnp.ndarray, DecodeCache]:
@@ -206,26 +212,26 @@ class RARM(nn.Module):
              + jax.lax.dynamic_slice_in_dim(
                  self.positional_encoding, pos, 1, axis=0
              ).astype(self.dtype)[None])
-        sk, sv = cache.self_k, cache.self_v
+        sk, sv = list(cache.self_k), list(cache.self_v)
+        s_ctx = cache.cross_k[0].shape[1]
         for d, block in enumerate(self.blocks):
             h = block.norm1(x)
             q_in = h
             k_new = block.attn1._split(block.attn1.to_k(h))  # [B,1,H,D]
             v_new = block.attn1._split(block.attn1.to_v(h))
-            sk = sk.at[d].set(
-                jax.lax.dynamic_update_slice_in_dim(sk[d], k_new, pos,
-                                                    axis=1))
-            sv = sv.at[d].set(
-                jax.lax.dynamic_update_slice_in_dim(sv[d], v_new, pos,
-                                                    axis=1))
+            sk[d] = jax.lax.dynamic_update_slice_in_dim(sk[d], k_new, pos,
+                                                        axis=1)
+            sv[d] = jax.lax.dynamic_update_slice_in_dim(sv[d], v_new, pos,
+                                                        axis=1)
             x = x + block.attn1.attend_cached(q_in, sk[d], sv[d], pos)
             h = block.norm2(x)
             x = x + block.attn2.attend_cached(
                 h, cache.cross_k[d], cache.cross_v[d],
-                cache.cross_k.shape[2] - 1)  # full cross context
+                s_ctx - 1)  # full cross context
             x = x + block.ff(block.norm3(x))
         logits = self.proj_out(x).astype(jnp.float32)[:, 0]
-        return logits, DecodeCache(sk, sv, cache.cross_k, cache.cross_v)
+        return logits, DecodeCache(tuple(sk), tuple(sv),
+                                   cache.cross_k, cache.cross_v)
 
     # ---------- training ----------
 

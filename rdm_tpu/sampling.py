@@ -49,6 +49,9 @@ def ddim_sample(
     mask: Optional[jnp.ndarray] = None,
     x0: Optional[jnp.ndarray] = None,
     quantize_fn: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    style_context: Optional[jnp.ndarray] = None,
+    content_context: Optional[jnp.ndarray] = None,
+    random_guiding: str = "none",
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the full DDIM reverse process.
 
@@ -64,6 +67,14 @@ def ddim_sample(
       quantize_fn: optional pred_x0 projection applied each step — the
         `quantize_denoised` codebook snap (reference ddim.py:260-261);
         pass the first stage's quantizer.
+      style_context / content_context: SNR-gated conditioning swap
+        (reference ddim.py:178-184, after arXiv 2204.00227): style_context
+        replaces the conditioning when snr < 5e-2 (late, low-noise steps
+        set color/style), content_context when 5e-2 <= snr < 1.
+      random_guiding: "none" | "fixed" | "sampled" — replace the CFG
+        unconditional eps with a clamped N(0,1) guider drawn once
+        ("fixed") or per step ("sampled") (reference ddim.py:169-171,
+        193-194, 240-241).
 
     Returns:
       (x_0 sample, pred_x0 intermediates [n_logged, B, ...] or None)
@@ -91,17 +102,41 @@ def ddim_sample(
                            jax.random.normal(brng, shape, jnp.float32))
         x = mask * noised0 + (1.0 - mask) * x
 
-    if use_cfg:
-        ctx_both = jnp.concatenate([context, uncond_context], axis=0)
+    if random_guiding not in ("none", "fixed", "sampled"):
+        raise ValueError(f"bad random_guiding '{random_guiding}'")
+    fixed_guider = None
+    if random_guiding == "fixed":
+        rng, grng = jax.random.split(rng)
+        fixed_guider = jnp.clip(
+            jax.random.normal(grng, shape, jnp.float32), -1.0, 1.0)
 
-    def eps_model(x, t):
-        if context is None:
+    def step_context(index):
+        """SNR-gated style/content swap (reference ddim.py:178-184)."""
+        ctx = context
+        if ctx is None:
+            return None
+        snr = ddim.alphas[index] / (1.0 - ddim.alphas[index])
+        if style_context is not None:
+            ctx = jnp.where(snr < 5e-2, style_context, ctx)
+        if content_context is not None:
+            ctx = jnp.where(jnp.logical_and(snr >= 5e-2, snr < 1.0),
+                            content_context, ctx)
+        return ctx
+
+    def eps_model(x, t, ctx, guider):
+        if ctx is None:
             return denoise_fn(x, t, None)
         if not use_cfg:
-            return denoise_fn(x, t, context)
+            return denoise_fn(x, t, ctx)
+        if guider is not None:
+            # random guiding: the guider replaces the unconditional eps
+            eps_c = denoise_fn(x, t, ctx)
+            return guider + config.guidance_scale * (
+                eps_c.astype(jnp.float32) - guider)
         x2 = jnp.concatenate([x, x], axis=0)
         t2 = jnp.concatenate([t, t], axis=0)
-        eps2 = denoise_fn(x2, t2, ctx_both)
+        eps2 = denoise_fn(x2, t2,
+                          jnp.concatenate([ctx, uncond_context], axis=0))
         eps_c, eps_u = jnp.split(eps2, 2, axis=0)
         return eps_u + config.guidance_scale * (eps_c - eps_u)
 
@@ -111,7 +146,12 @@ def ddim_sample(
         x, rng = carry
         index = steps - 1 - step  # descending through the tables
         t = jnp.full((shape[0],), ddim.timesteps[index], dtype=jnp.int32)
-        eps = eps_model(x, t)
+        guider = fixed_guider
+        if random_guiding == "sampled":
+            rng, grng = jax.random.split(rng)
+            guider = jnp.clip(jax.random.normal(grng, shape, jnp.float32),
+                              -1.0, 1.0)
+        eps = eps_model(x, t, step_context(index), guider)
         rng, nrng, mrng = jax.random.split(rng, 3)
         noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
         if quantize_fn is None:

@@ -172,3 +172,65 @@ def test_biggan_imagenet_variant(imagenet_root):
     assert s["image"].shape == (32, 32, 3)
     assert -1.0 <= s["image"].min() and s["image"].max() <= 1.0
     assert s["class_label"] == 0
+
+
+def test_bsr_degradation_pipeline():
+    """BSR degradation components + full pipeline: right shapes/range, and
+    it actually degrades (differs from plain bicubic downscale)."""
+    from rdm_tpu.data.base import _resize
+    from rdm_tpu.data.degradation import (add_gaussian_noise,
+                                          anisotropic_gaussian_kernel,
+                                          degradation_bsr, jpeg_compress,
+                                          random_blur)
+
+    rng = np.random.default_rng(0)
+    hr = rng.uniform(0, 1, (64, 64, 3)).astype(np.float32)
+    k = anisotropic_gaussian_kernel(1.5, 0.4, 0.7)
+    assert abs(float(k.sum()) - 1.0) < 1e-5 and k.shape == (21, 21)
+    blurred = random_blur(hr, rng)
+    assert blurred.shape == hr.shape
+    assert blurred.std() < hr.std()  # blur reduces variance
+    noisy = add_gaussian_noise(hr, rng)
+    assert not np.allclose(noisy, hr)
+    jpg = jpeg_compress(hr, rng)
+    assert jpg.shape == hr.shape and jpg.min() >= 0 and jpg.max() <= 1
+
+    lr = degradation_bsr(hr, sf=4, rng=np.random.default_rng(1))
+    assert lr.shape == (16, 16, 3)
+    assert lr.min() >= 0.0 and lr.max() <= 1.0
+    clean = (_resize(hr * 2 - 1, (16, 16)) + 1) / 2
+    assert float(np.abs(lr - clean).mean()) > 0.01
+    # light variant is closer to the clean downscale on average
+    dists = []
+    for light in (False, True):
+        d = [float(np.abs(degradation_bsr(
+            hr, 4, np.random.default_rng(100 + i), light=light)
+            - clean).mean()) for i in range(8)]
+        dists.append(np.mean(d))
+    assert dists[1] <= dists[0]
+
+
+def test_superres_openimages_bsr(tmp_path):
+    from PIL import Image
+
+    from rdm_tpu.data.openimages import SuperresOpenImagesTrain
+
+    root = tmp_path / "oi"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    rels = []
+    for i in range(2):
+        rel = f"img{i}.png"
+        Image.fromarray(rng.integers(0, 255, (80, 70, 3),
+                                     dtype=np.uint8)).save(root / rel)
+        rels.append(rel)
+    (root / "train_filelist.txt").write_text("\n".join(rels))
+    ds = SuperresOpenImagesTrain(str(root), size=64, down_factor=4)
+    s = ds[0]
+    assert s["image"].shape == (64, 64, 3)
+    assert s["LR_image"].shape == (16, 16, 3)
+    assert -1.0 <= s["LR_image"].min() and s["LR_image"].max() <= 1.0
+    # interpolation fallback still works
+    ds2 = SuperresOpenImagesTrain(str(root), size=64, down_factor=4,
+                                  degradation="bicubic", noise_level=0.05)
+    assert ds2[0]["LR_image"].shape == (16, 16, 3)

@@ -125,3 +125,53 @@ def test_ddim_inpaint_blend_matches_reference_structure():
         blend_noise = jax.random.normal(mrng, shape, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(x),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_snr_gated_context_swap_and_random_guiding():
+    """style/content contexts swap in by SNR band (reference
+    ddim.py:178-184) and random guiding replaces the uncond eps."""
+    from rdm_tpu.ops.schedules import DDIMSchedule
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    schedule = DiffusionSchedule.create(1000, "linear", 0.0015, 0.0195)
+    cfg = DDIMSamplerConfig(num_steps=10)
+    shape = (1, 4, 4, 1)
+    def denoise(x, t, ctx):
+        return 0.05 * x + 0.01 * jnp.mean(ctx)
+
+    base = jnp.full((1, 2, 4), 1.0)
+    style = jnp.full((1, 2, 4), 2.0)
+    content = jnp.full((1, 2, 4), 3.0)
+    out_plain, _ = ddim_sample(denoise, schedule, cfg, shape, base,
+                               jax.random.PRNGKey(0))
+    out_swap, _ = ddim_sample(denoise, schedule, cfg, shape, base,
+                              jax.random.PRNGKey(0), style_context=style,
+                              content_context=content)
+    assert not np.allclose(np.asarray(out_plain), np.asarray(out_swap))
+    # SNR bands actually cover both branches across the 1000-step schedule
+    ddim = DDIMSchedule.create(schedule, cfg.num_steps)
+    snr = np.asarray(ddim.alphas / (1.0 - ddim.alphas))
+    assert (snr < 5e-2).any() and ((snr >= 5e-2) & (snr < 1.0)).any()
+
+    # random guiding: runs the cond-only forward; deterministic per key
+    g1, _ = ddim_sample(denoise, schedule,
+                        DDIMSamplerConfig(num_steps=5, guidance_scale=2.0),
+                        shape, base, jax.random.PRNGKey(1),
+                        uncond_context=jnp.zeros_like(base),
+                        random_guiding="sampled")
+    g2, _ = ddim_sample(denoise, schedule,
+                        DDIMSamplerConfig(num_steps=5, guidance_scale=2.0),
+                        shape, base, jax.random.PRNGKey(1),
+                        uncond_context=jnp.zeros_like(base),
+                        random_guiding="fixed")
+    g3, _ = ddim_sample(denoise, schedule,
+                        DDIMSamplerConfig(num_steps=5, guidance_scale=2.0),
+                        shape, base, jax.random.PRNGKey(1),
+                        uncond_context=jnp.zeros_like(base))
+    assert np.isfinite(np.asarray(g1)).all()
+    assert not np.allclose(np.asarray(g1), np.asarray(g3))
+    assert not np.allclose(np.asarray(g2), np.asarray(g3))
+    import pytest
+    with pytest.raises(ValueError):
+        ddim_sample(denoise, schedule, cfg, shape, base,
+                    jax.random.PRNGKey(0), random_guiding="bogus")
