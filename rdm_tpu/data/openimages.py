@@ -69,15 +69,31 @@ class FullOpenImagesValidation(FullOpenImagesBase):
 
 
 class OpenImagesBBoxBase(FullOpenImagesBase):
-    """Adds per-image annotation lists for PatcherDataset('annotation').
+    """Adds per-image annotation lists for PatcherDataset('annotation')
+    and, when a token builder is configured, bbox→token conditioning
+    sequences (reference openimages_bbox_helpers, see
+    rdm_tpu.data.bbox_tokens).
 
-    Each annotation: {'bbox': (x, y, w, h) fractional, 'label': str}.
+    Each annotation: {'bbox': (x, y, w, h) fractional, 'label': str,
+    'IsGroupOf'/... flags when present in the CSV}. With
+    `token_builder` in {'bbox', 'center', 'scene_graph'}, samples carry
+    'bbox_tokens' [embedding_dim] int64; categories map through a
+    CategoryMapping built from <root>/class-descriptions.csv (restricted
+    to the top `top_k_categories` by box count when set — the reference's
+    selected top-300 list).
     """
 
+    _FLAGS = ("IsGroupOf", "IsOccluded", "IsDepiction", "IsInside")
+
     def __init__(self, root: str, size: Optional[int] = None,
-                 max_images: Optional[int] = None):
+                 max_images: Optional[int] = None,
+                 token_builder: Optional[str] = None,
+                 no_tokens: int = 1024, no_max_objects: int = 30,
+                 use_group_parameter: bool = False,
+                 top_k_categories: Optional[int] = None, seed: int = 0):
         super().__init__(root, size=size, max_images=max_images)
         self.annotations: Dict[str, List[dict]] = defaultdict(list)
+        counts: Dict[str, int] = defaultdict(int)
         csv_path = os.path.join(root, f"boxes_{self.split}.csv")
         if os.path.isfile(csv_path):
             with open(csv_path, newline="") as f:
@@ -86,18 +102,75 @@ class OpenImagesBBoxBase(FullOpenImagesBase):
                     y1 = float(row["YMin"])
                     w = float(row["XMax"]) - x1
                     h = float(row["YMax"]) - y1
-                    self.annotations[row["ImageID"]].append(
-                        {"bbox": (x1, y1, w, h),
-                         "label": row.get("LabelName", "")})
+                    ann = {"bbox": (x1, y1, w, h),
+                           "label": row.get("LabelName", "")}
+                    for flag in self._FLAGS:
+                        if flag in row:
+                            ann[flag] = row[flag] == "1"
+                    self.annotations[row["ImageID"]].append(ann)
+                    counts[ann["label"]] += 1
+        self.token_builder = None
+        self.categories = None
+        if token_builder is not None:
+            from rdm_tpu.data.bbox_tokens import (BoundingBoxTokenBuilder,
+                                                  CategoryMapping,
+                                                  CenterPointTokenBuilder,
+                                                  SceneGraphTokenBuilder)
+
+            desc = os.path.join(root, "class-descriptions.csv")
+            if os.path.isfile(desc):
+                self.categories = CategoryMapping.from_csv(
+                    desc, counts=counts, top_k=top_k_categories)
+            else:
+                self.categories = CategoryMapping(
+                    {cid: cid for cid in sorted(counts)})
+            cls = {"bbox": BoundingBoxTokenBuilder,
+                   "center": CenterPointTokenBuilder,
+                   "scene_graph": SceneGraphTokenBuilder}.get(token_builder)
+            if cls is None:
+                raise ValueError(f"unknown token_builder '{token_builder}'")
+            kw = dict(no_object_classes=len(self.categories),
+                      no_tokens=no_tokens,
+                      use_group_parameter=use_group_parameter, seed=seed)
+            if cls is SceneGraphTokenBuilder:
+                kw["no_max_relations"] = no_max_objects
+            else:
+                kw["no_max_objects"] = no_max_objects
+            self.token_builder = cls(**kw)
 
     @staticmethod
     def _image_id(rel_path: str) -> str:
         return os.path.splitext(os.path.basename(rel_path))[0]
 
+    def _to_builder_annotations(self, anns: List[dict]):
+        from rdm_tpu.data.bbox_tokens import Annotation
+
+        out = []
+        for a in anns:
+            no = self.categories.category_no(a["label"])
+            if no is None:
+                continue
+            out.append(Annotation(
+                category_no=no, bbox=tuple(a["bbox"]),
+                is_group_of=a.get("IsGroupOf", False),
+                is_occluded=a.get("IsOccluded", False),
+                is_depiction=a.get("IsDepiction", False),
+                is_inside=a.get("IsInside", False)))
+        return out
+
     def __getitem__(self, i: int):
         out = super().__getitem__(i)
-        out["annotations"] = self.annotations.get(
+        anns = self.annotations.get(
             self._image_id(out["file_path_"]), [])
+        out["annotations"] = anns
+        if self.token_builder is not None:
+            builder_anns = self._to_builder_annotations(anns)
+            if builder_anns:
+                out["bbox_tokens"] = self.token_builder.build(builder_anns)
+            else:
+                out["bbox_tokens"] = np.full(
+                    (self.token_builder.embedding_dim,),
+                    self.token_builder.none, dtype=np.int64)
         return out
 
 
