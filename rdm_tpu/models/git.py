@@ -134,3 +134,91 @@ def maskgit_decode(model: GIT, params, context, rng, *,
     logits = model.apply(params, tokens, rate, context)
     final = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     return jnp.where(known, tokens, final)
+
+
+class GITUNet(nn.Module):
+    """Token-grid masked-image model over the ADM U-Net trunk — the
+    reference GITWrapper (/root/reference/rdm/modules/diffusionmodules/
+    openaimodel.py:599-656): tokens are embedded to `unet.in_channels`
+    channels, reshaped to the [side, side] grid, run through the U-Net
+    with the masking-rate scalar `r` standing in for the timestep
+    embedding, and projected to per-position codebook logits by the
+    id-predictor head (GroupNorm -> 1x1 conv)."""
+
+    unet_config: Any  # rdm_tpu.models.unet.UNetConfig
+    input_vocab: int = 16385
+    output_vocab: int = 16384
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, r=None, context=None, *,
+                 deterministic: bool = True):
+        """tokens [B, S] int; r [B] float mask rate (or None -> zeros);
+        context [B, S_ctx, D] cross-attention conditioning.
+        Returns logits [B, S, output_vocab]."""
+        from rdm_tpu.models.layers import GroupNorm32, conv
+        from rdm_tpu.models.unet import UNet
+
+        b, s = tokens.shape
+        side = int(s ** 0.5)
+        assert side * side == s, "token count must be a square grid"
+        if r is None:
+            r = jnp.zeros((b,), dtype=jnp.float32)
+        r = r.reshape(b)  # the reference squeezes trailing dims
+        x = nn.Embed(self.input_vocab, self.unet_config.in_channels,
+                     param_dtype=jnp.float32, name="tok_emb")(tokens)
+        x = x.reshape(b, side, side, -1).astype(self.dtype)
+        # timestep-embedding path consumes the (continuous) mask rate; the
+        # sinusoidal embedding accepts floats as-is
+        h = UNet(self.unet_config, dtype=self.dtype, name="unet")(
+            x, r, context, deterministic=deterministic,
+            return_features=True)
+        # id predictor (ldm UNetModel.id_predictor semantics)
+        h = GroupNorm32(name="id_norm")(h)
+        logits = conv(self.output_vocab, 1, self.dtype,
+                      name="id_predictor")(h)
+        return logits.reshape(b, s, self.output_vocab).astype(jnp.float32)
+
+
+class GITConcatUNet(nn.Module):
+    """GITConcatWrapper (reference openaimodel.py:659-716): conditioning
+    is a spatial feature map channel-concatenated to the embedded token
+    grid (produced by `context_encoder`: context, side -> [B, side, side,
+    Cc]) instead of cross-attention."""
+
+    unet_config: Any
+    context_channels: int
+    input_vocab: int = 16385
+    output_vocab: int = 16384
+    embedding_dim: int = 256
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, context_map, r=None, *,
+                 deterministic: bool = True):
+        """tokens [B, S] int; context_map [B, side, side, Cc] spatial
+        conditioning (e.g. a SpatioTemporalConcatZNNEncoder output).
+        unet_config.in_channels must equal embedding_dim +
+        context_channels."""
+        from rdm_tpu.models.layers import GroupNorm32, conv
+        from rdm_tpu.models.unet import UNet
+
+        b, s = tokens.shape
+        side = int(s ** 0.5)
+        assert side * side == s
+        assert context_map.shape[-1] == self.context_channels
+        assert (self.unet_config.in_channels
+                == self.embedding_dim + self.context_channels)
+        if r is None:
+            r = jnp.zeros((b,), dtype=jnp.float32)
+        x = nn.Embed(self.input_vocab, self.embedding_dim,
+                     param_dtype=jnp.float32, name="tok_emb")(tokens)
+        x = x.reshape(b, side, side, -1).astype(self.dtype)
+        x = jnp.concatenate([x, context_map.astype(x.dtype)], axis=-1)
+        h = UNet(self.unet_config, dtype=self.dtype, name="unet")(
+            x, r.reshape(b), None, deterministic=deterministic,
+            return_features=True)
+        h = GroupNorm32(name="id_norm")(h)
+        logits = conv(self.output_vocab, 1, self.dtype,
+                      name="id_predictor")(h)
+        return logits.reshape(b, s, self.output_vocab).astype(jnp.float32)

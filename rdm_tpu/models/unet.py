@@ -82,7 +82,12 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, t, context=None, y=None, *, deterministic: bool = True):
+    def __call__(self, x, t, context=None, y=None, *,
+                 deterministic: bool = True, return_features: bool = False):
+        """return_features=True skips the zero-init out head and returns
+        the trunk features [B, H, W, model_channels] — the reference
+        GITWrapper.unet_forward path (openaimodel.py:645-656), which feeds
+        an id-predictor head instead of self.out."""
         cfg = self.config
         ch0 = cfg.model_channels
         time_dim = ch0 * 4
@@ -167,6 +172,8 @@ class UNet(nn.Module):
                     ds //= 2
         assert not hs, "skip-connection bookkeeping mismatch"
 
+        if return_features:
+            return h
         h = nn.silu(GroupNorm32(name="out_norm")(h))
         h = conv(cfg.out_channels, 3, self.dtype, zero_init=True,
                  name="out_conv")(h)

@@ -57,3 +57,62 @@ def test_maskgit_decode_valid_tokens():
     assert toks.shape == (1, 16)
     arr = np.asarray(toks)
     assert (arr >= 0).all() and (arr < 19).all()  # no mask tokens remain
+
+
+def test_git_unet_wrapper():
+    """GITWrapper equivalent: token grid -> U-Net trunk -> codebook
+    logits, with the mask rate driving the timestep path."""
+    from rdm_tpu.models.git import GITUNet
+    from rdm_tpu.models.unet import UNetConfig
+
+    unet = UNetConfig(in_channels=16, out_channels=16, model_channels=16,
+                      num_res_blocks=1, attention_resolutions=(1,),
+                      channel_mult=(1, 2), num_head_channels=8,
+                      context_dim=12)
+    model = GITUNet(unet_config=unet, input_vocab=33, output_vocab=32)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, 33, (2, 16)))
+    ctx = jnp.zeros((2, 3, 12))
+    r = jnp.asarray([0.3, 0.8])
+    params = model.init(jax.random.PRNGKey(0), tokens, r, ctx)
+    # ADM ResBlock out layers are zero-init => the trunk ignores the
+    # timestep/mask-rate path at init; perturb zero kernels to observe it
+    i = [0]
+
+    def dezero(v):
+        if v.ndim >= 2 and not np.any(np.asarray(v)):
+            i[0] += 1
+            return jax.random.normal(jax.random.PRNGKey(50 + i[0]),
+                                     v.shape) * 0.05
+        return v
+
+    params = jax.tree.map(dezero, params)
+    out = model.apply(params, tokens, r, ctx)
+    assert out.shape == (2, 16, 32) and out.dtype == jnp.float32
+    # mask rate must reach the trunk (timestep path)
+    out2 = model.apply(params, tokens, jnp.asarray([0.9, 0.1]), ctx)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
+    # r=None defaults to zeros
+    out3 = model.apply(params, tokens, None, ctx)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_git_concat_unet_wrapper():
+    """GITConcatWrapper equivalent: spatial conditioning map concatenated
+    in channels instead of cross-attention."""
+    from rdm_tpu.models.git import GITConcatUNet
+    from rdm_tpu.models.unet import UNetConfig
+
+    unet = UNetConfig(in_channels=8 + 6, out_channels=8, model_channels=16,
+                      num_res_blocks=1, attention_resolutions=(),
+                      channel_mult=(1, 2), num_head_channels=8,
+                      context_dim=None)
+    model = GITConcatUNet(unet_config=unet, context_channels=6,
+                          input_vocab=33, output_vocab=32, embedding_dim=8)
+    tokens = jnp.asarray(np.random.default_rng(0).integers(0, 33, (2, 16)))
+    cmap = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 4, 4, 6)), dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), tokens, cmap)
+    out = model.apply(params, tokens, cmap)
+    assert out.shape == (2, 16, 32)
+    out2 = model.apply(params, tokens, cmap * 0.0)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
