@@ -382,6 +382,52 @@ class QueryDataset:
         return out
 
 
+class NNMemoryDataset:
+    """Data-pool ids → self-search neighbor patches, with retry-on-bad-id
+    (reference base.py:43-104): given a DatasetBuilder (pool + searcher +
+    source patch dataset) and a pool index, embed the stored query row,
+    search its k nearest neighbors, and re-crop their pixels. Bad ids are
+    quarantined and a replacement drawn from `ids` up to max_trials times
+    (debug=True substitutes random embeddings instead).
+    """
+
+    def __init__(self, builder, k_nn: int, ids: Optional[Sequence[int]]
+                 = None, debug: bool = False, max_trials: int = 10,
+                 seed: Optional[int] = None):
+        self.builder = builder
+        self.k_nn = k_nn
+        self.ids = list(ids) if ids is not None else None
+        self.is_debug = debug
+        self.max_trials = max_trials
+        self.invalids: set = set()
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return (len(self.ids) if self.ids is not None
+                else self.builder.pool.size)
+
+    def __getitem__(self, idx: int, _trial: int = 0) -> Dict[str, Any]:
+        pool = self.builder.pool
+        try:
+            q = np.asarray(pool.embeddings[idx], dtype=np.float32)
+        except Exception:
+            if self.is_debug:
+                q = self.rng.random(pool.dim).astype(np.float32)
+            else:
+                if self.ids is None or len(self.ids) < 2:
+                    raise
+                self.invalids.add(idx)
+                valid = list(set(self.ids) - self.invalids)
+                if _trial >= self.max_trials or not valid:
+                    raise
+                nxt = int(self.rng.choice(valid))
+                return self.__getitem__(nxt, _trial=_trial + 1)
+        found = self.builder.search_k_nearest(q[None], k=self.k_nn)
+        nns = np.asarray(found["nns"])  # [1, k]
+        patches = self.builder.get_nn_patches(nns)[0]  # [k, h, w, 3]
+        return {"mem_idx": idx, "nn_patches": patches}
+
+
 class SubsetShard:
     """Strided per-rank subset with optional label-range filtering — the
     distributed-sampler equivalent for per-host input sharding."""

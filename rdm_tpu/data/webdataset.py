@@ -134,3 +134,94 @@ class WebDataset:
                 if buf:
                     yield dict_collation_fn(buf)
                 return
+
+
+class NeighborReconstructor:
+    """'nn_indices.npy' transform: neighbor-ID arrays stored in the tars
+    are reconstructed into UNNORMALIZED embedding sequences by gathering
+    from the retrieval DataPool.
+
+    The reference does this with a faiss direct map
+    (base.py:549-556,579-588 + util.py:24-41 reconstruct_nns); here the
+    npz DataPool IS the id→embedding table, so reconstruction is one
+    numpy gather. Optional k-slice matches the QueryDataset contract.
+    """
+
+    def __init__(self, pool, k: Optional[int] = None):
+        from rdm_tpu.retrieval.database import DataPool
+
+        if isinstance(pool, str):
+            pool = DataPool.load(pool)
+        self.pool = pool
+        self.k = k
+
+    def __call__(self, ids) -> np.ndarray:
+        ids = np.asarray(ids)
+        if self.k is not None:
+            ids = ids[..., : self.k]
+        emb = np.asarray(self.pool.embeddings)[ids.reshape(-1)]
+        return emb.reshape(ids.shape + (self.pool.dim,)) \
+            .astype(np.float32)
+
+
+class WebDataModule:
+    """Config-driven tar-shard data module — the surface of the
+    reference's WebDataModuleFromConfig (base.py:516-705): per-split
+    configs {shards, n_examples, image_key, nn_key, k}, an `index_path`
+    whose pool reconstructs 'nn_indices.npy' entries into neighbor
+    embeddings, and repeat+batched loaders with n_examples-derived epoch
+    length.
+    """
+
+    def __init__(self, tar_base: str, batch_size: int, *,
+                 train: Optional[dict] = None,
+                 validation: Optional[dict] = None,
+                 test: Optional[dict] = None,
+                 index_path: Optional[str] = None):
+        import os
+
+        self.tar_base = tar_base
+        self.batch_size = batch_size
+        self.splits = {"train": train, "validation": validation,
+                       "test": test}
+        self.pool = None
+        if index_path is not None:
+            from rdm_tpu.retrieval.database import DataPool
+
+            self.pool = DataPool.load(index_path)
+        self._join = lambda s: (s if os.path.isabs(s)
+                                else os.path.join(tar_base, s))
+
+    def make_loader(self, split: str, *, repeat: Optional[bool] = None):
+        """→ (batched iterator, steps_per_epoch)."""
+        cfg = self.splits.get(split)
+        if cfg is None:
+            raise ValueError(f"split '{split}' not configured")
+        transforms: Dict[str, Callable] = {}
+        rename = dict(cfg.get("rename", {}))
+        nn_key = cfg.get("nn_key", "nn_indices.npy")
+        if self.pool is not None:
+            transforms[nn_key] = NeighborReconstructor(
+                self.pool, k=cfg.get("k"))
+            rename.setdefault(nn_key, nn_key)
+        img_key = cfg.get("image_key")
+        if img_key and img_key != "image":
+            rename[img_key] = "image"
+        ds = WebDataset(self._join(cfg["shards"]), transforms=transforms,
+                        rename=rename,
+                        shard_shuffle_seed=cfg.get("shuffle"),
+                        split_by_host=cfg.get("split_by_host", True))
+        if repeat is None:
+            repeat = split == "train"
+        n_examples = int(cfg.get("n_examples", 0))
+        steps = n_examples // self.batch_size if n_examples else None
+        return ds.loader(self.batch_size, repeat=repeat), steps
+
+    def train_dataloader(self):
+        return self.make_loader("train")[0]
+
+    def val_dataloader(self):
+        return self.make_loader("validation", repeat=False)[0]
+
+    def test_dataloader(self):
+        return self.make_loader("test", repeat=False)[0]

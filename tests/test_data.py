@@ -297,3 +297,32 @@ def test_nn_patches_feed_vq_encoder_training():
     # TemporalNNZEncoder round-trips the same patches for comparison
     tz = TemporalNNZEncoder(vq, vq_params).encode(nn_patches)
     assert tz.shape == (2, 2, 16 * 4)
+
+
+def test_nn_memory_dataset_retry(tmp_path, image_dir):
+    """NNMemoryDataset: pool-id -> self-search -> neighbor patch crops,
+    with retry-on-bad-id quarantine (reference base.py:43-104)."""
+    from rdm_tpu.data.base import NNMemoryDataset
+    from rdm_tpu.retrieval.builder import DatasetBuilder
+
+    ds = ImagePaths(image_dir, size=32)
+    patcher = PatcherDataset(ds, patch_size=8, n_patches=2, seed=0)
+    embed = lambda imgs: np.asarray(imgs).reshape(len(imgs), -1)[:, :16]
+    builder = DatasetBuilder(patcher, embed, save_dir=str(tmp_path / "db"),
+                             batch_size=4, k=2)
+    builder.build_data_pool()
+    builder.train_searcher()
+
+    mem = NNMemoryDataset(builder, k_nn=2, ids=list(range(6)), seed=0)
+    s = mem[0]
+    assert s["mem_idx"] == 0
+    assert s["nn_patches"].shape[0] == 2  # k patches
+    assert s["nn_patches"].shape[-1] == 3
+    # bad id retries onto a valid one instead of raising
+    s2 = mem.__getitem__(10_000)
+    assert s2["mem_idx"] in range(6)
+    assert 10_000 in mem.invalids
+    # debug mode fabricates an embedding instead
+    dbg = NNMemoryDataset(builder, k_nn=2, debug=True, seed=0)
+    s3 = dbg.__getitem__(10_000)
+    assert s3["nn_patches"].shape[0] == 2

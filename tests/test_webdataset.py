@@ -64,3 +64,58 @@ def test_webdataset_loader_and_transforms(tmp_path):
     for _ in range(5):
         b = next(it)
     assert b["image"].shape[0] == 4
+
+
+def test_neighbor_reconstruction_and_module(tmp_path):
+    """WebDataModule injects the pool-backed NeighborReconstructor for
+    nn_indices.npy entries (reference faiss direct-map injection,
+    base.py:549-588) and serves repeat+batched loaders."""
+    import io as _io
+    import tarfile
+
+    from rdm_tpu.data.webdataset import NeighborReconstructor, WebDataModule
+    from rdm_tpu.retrieval.database import DataPool
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((50, 8)).astype(np.float32)
+    pool_dir = tmp_path / "pool"
+    DataPool(embeddings=emb).save(str(pool_dir))
+
+    tar_path = tmp_path / "000000.tar"
+    with tarfile.open(tar_path, "w") as tf:
+        for i in range(5):
+            img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+            buf = _io.BytesIO()
+            Image.fromarray(img).save(buf, format="PNG")
+            data = buf.getvalue()
+            info = tarfile.TarInfo(f"s{i:04d}.png")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+            ids = rng.integers(0, 50, (1, 4)).astype(np.int64)
+            nbuf = _io.BytesIO()
+            np.save(nbuf, ids)
+            data = nbuf.getvalue()
+            info = tarfile.TarInfo(f"s{i:04d}.nn_indices.npy")
+            info.size = len(data)
+            tf.addfile(info, _io.BytesIO(data))
+
+    # direct transform check
+    rec = NeighborReconstructor(str(pool_dir), k=2)
+    out = rec(np.asarray([[3, 7, 1, 0]]))
+    assert out.shape == (1, 2, 8)
+    np.testing.assert_allclose(out[0, 0], emb[3], atol=1e-6)
+
+    dm = WebDataModule(str(tmp_path), batch_size=2,
+                       train={"shards": "000000.tar", "image_key": "png",
+                              "n_examples": 5, "k": 3,
+                              "split_by_host": False},
+                       index_path=str(pool_dir))
+    loader, steps = dm.make_loader("train")
+    assert steps == 2
+    batch = next(loader)
+    assert batch["image"].shape == (2, 16, 16, 3)
+    assert batch["nn_indices.npy"].shape == (2, 1, 3, 8)
+    # repeat: more batches than one epoch's worth are available
+    for _ in range(5):
+        batch = next(loader)
+    assert batch["image"].shape[0] == 2
