@@ -26,7 +26,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from rdm_tpu.data.base import load_image
+from rdm_tpu.data.base import center_crop, load_image, smallest_max_size
 
 
 class FullOpenImagesBase:
@@ -183,32 +183,135 @@ class OpenImagesBBoxValidation(OpenImagesBBoxBase):
 
 
 class SemanticOpenImagesBase(FullOpenImagesBase):
-    """Images + segmentation masks (reference openimages.py:103-254).
+    """Images + class-labeled segmentation (reference openimages.py:103-254).
 
-    Masks live under <root>/masks/<stem>.png (uint8 class ids); samples
-    without a mask get an all-zero (background) map. Returns
-    {'image', 'segmentation' [H,W] int32}.
+    Two layouts:
+
+    **Annotation mode** (the reference protocol) — used when
+    `<root>/<split>-annotations-object-segmentation.csv` exists (the
+    official OpenImages segmentation CSV: MaskPath,ImageID,LabelName,...).
+    One sample per *object annotation*: the binary instance mask PNG at
+    `<root>/<split>/<MaskPath>` is labeled with the class id from
+    `<root>/segmentation_classes.txt` (line i → class i+1; 0 = background),
+    names from `<root>/class-descriptions-boxable.csv`; images load from
+    `<root>/<split>/<ImageID>.jpg` (or `image_root` when given). Returns
+    {'image', 'mask' [H,W] int, 'segmentation' [H,W,num_classes] one-hot,
+    'class_label', 'class_name'} — matching the reference sample keys.
+    Cropping: smallest-max-size rescale (image bicubic, mask nearest) then
+    random/center square crop applied to both; the reference's
+    `crop_around_roi` is an unimplemented stub there
+    (`crop_img_and_mask_around_roi` → `pass`, openimages.py:173-174) and
+    is not reproduced.
+
+    **Filelist mode** (fallback) — per-image class-id masks under
+    `<root>/masks/<stem>.png`; samples without a mask get an all-zero
+    (background) map. Returns {'image', 'segmentation' [H,W] int32}.
     """
 
     def __init__(self, root: str, size: Optional[int] = 256,
-                 max_images: Optional[int] = None):
-        super().__init__(root, size=size, max_images=max_images)
-        self.mask_dir = os.path.join(root, "masks")
+                 max_images: Optional[int] = None,
+                 image_root: Optional[str] = None,
+                 random_crop: bool = True,
+                 segmentation_to_float: bool = True, seed: int = 0):
+        self.root = root
+        self.size = size
+        self.seg_to_float = segmentation_to_float
+        self.rng = np.random.default_rng(seed)
+        self.random_crop = random_crop
+        ann_csv = os.path.join(
+            root, f"{self.split}-annotations-object-segmentation.csv")
+        self.annotation_mode = os.path.isfile(ann_csv)
+        if not self.annotation_mode:
+            super().__init__(root, size=size, max_images=max_images)
+            self.mask_dir = os.path.join(root, "masks")
+            return
+        self.image_root = os.path.join(image_root or root, self.split)
+        self.mask_root = os.path.join(root, self.split)
+        cls_txt = os.path.join(root, "segmentation_classes.txt")
+        with open(cls_txt) as f:
+            # id 0 is background, hence i+1 (reference openimages.py:124-125)
+            self.classid2label = {l.strip(): i + 1
+                                  for i, l in enumerate(f) if l.strip()}
+        self.num_classes = len(self.classid2label) + 1
+        self.classid2text = {}
+        desc = os.path.join(root, "class-descriptions-boxable.csv")
+        if os.path.isfile(desc):
+            with open(desc, newline="") as f:
+                for row in csv.reader(f):
+                    if len(row) >= 2:
+                        self.classid2text[row[0]] = row[1]
+        self.samples = []
+        with open(ann_csv, newline="") as f:
+            for row in csv.DictReader(f):
+                label = row["LabelName"]
+                if label not in self.classid2label:
+                    continue
+                self.samples.append(
+                    (row["ImageID"], row["MaskPath"], label))
+                if max_images and len(self.samples) >= max_images:
+                    break
+
+    def __len__(self):
+        if self.annotation_mode:
+            return len(self.samples)
+        return super().__len__()
+
+    def _crop_pair(self, image: np.ndarray, seg: np.ndarray):
+        from PIL import Image as _Image
+
+        image = smallest_max_size(image, self.size)
+        sh, sw = image.shape[:2]
+        seg_img = _Image.fromarray(seg.astype(np.int32), mode="I")
+        seg = np.asarray(seg_img.resize((sw, sh), _Image.NEAREST))
+        if self.random_crop:
+            y = int(self.rng.integers(0, max(sh - self.size, 0) + 1))
+            x = int(self.rng.integers(0, max(sw - self.size, 0) + 1))
+            image = image[y:y + self.size, x:x + self.size]
+            seg = seg[y:y + self.size, x:x + self.size]
+        else:
+            image = center_crop(image, self.size, self.size)
+            seg = center_crop(seg, self.size, self.size)
+        return image, seg
 
     def __getitem__(self, i: int):
-        out = super().__getitem__(i)
-        stem = os.path.splitext(os.path.basename(out["file_path_"]))[0]
-        mask_path = os.path.join(self.mask_dir, stem + ".png")
-        h, w = out["image"].shape[:2]
-        if os.path.isfile(mask_path):
-            from PIL import Image as _Image
+        from PIL import Image as _Image
 
-            m = _Image.open(mask_path).convert("L")
-            m = m.resize((w, h), _Image.NEAREST)
-            out["segmentation"] = np.asarray(m, dtype=np.int32)
-        else:
-            out["segmentation"] = np.zeros((h, w), dtype=np.int32)
-        return out
+        if not self.annotation_mode:
+            out = super().__getitem__(i)
+            stem = os.path.splitext(os.path.basename(out["file_path_"]))[0]
+            mask_path = os.path.join(self.mask_dir, stem + ".png")
+            h, w = out["image"].shape[:2]
+            if os.path.isfile(mask_path):
+                m = _Image.open(mask_path).convert("L")
+                m = m.resize((w, h), _Image.NEAREST)
+                out["segmentation"] = np.asarray(m, dtype=np.int32)
+            else:
+                out["segmentation"] = np.zeros((h, w), dtype=np.int32)
+            return out
+
+        image_id, mask_path, label = self.samples[i]
+        class_label = self.classid2label[label]
+        img = _Image.open(
+            os.path.join(self.image_root, image_id + ".jpg")).convert("RGB")
+        image = np.asarray(img, dtype=np.uint8)
+        mask = np.asarray(_Image.open(
+            os.path.join(self.mask_root, mask_path)))
+        if mask.ndim == 3:
+            mask = mask[..., 0]
+        seg = np.where(mask != 0, class_label, 0).astype(np.int32)
+        if self.size is not None:
+            image, seg = self._crop_pair(image, seg)
+        onehot = np.eye(self.num_classes, dtype=np.float32)[seg]
+        if not self.seg_to_float:
+            onehot = onehot.astype(np.int64)
+        return {
+            "image": (image.astype(np.float32) / 127.5) - 1.0,
+            "mask": seg,
+            "segmentation": onehot,
+            "class_label": class_label,
+            "class_name": self.classid2text.get(label, label),
+            "file_path_": os.path.join(self.image_root, image_id + ".jpg"),
+        }
 
 
 class SemanticOpenImagesTrain(SemanticOpenImagesBase):

@@ -30,6 +30,24 @@ Dtype = Any
 
 zeros_init = nn.initializers.zeros
 
+# Run transformer-block Dense projections on [b*s, c] instead of [b, s, c].
+# Measured no-go on v5e (flagship U-Net fwd, CFG batch 32): the in-context
+# 3D dot_generals lower through XLA's conv emitter at 10-45% MXU
+# efficiency (~20 ms/iter of projection time), but flattening them to 2D
+# makes the full forward WORSE (65.7 vs 60.7 ms/iter) — the reshapes force
+# relayout copies at every Dense while the surrounding 1x1 convs keep the
+# trunk in batch-in-sublanes conv layouts. Kept for A/B measurement.
+DENSE_2D = False
+
+
+def _dense_2d(dense: nn.Module, x: jnp.ndarray) -> jnp.ndarray:
+    """Apply a Dense over the last dim via a flattened 2D matmul."""
+    if not DENSE_2D or x.ndim == 2:
+        return dense(x)
+    lead = x.shape[:-1]
+    y = dense(x.reshape(-1, x.shape[-1]))
+    return y.reshape(*lead, y.shape[-1])
+
 
 class _RawGroupNorm(nn.Module):
     """bf16-native GroupNorm: statistics accumulate in float32 (converts
@@ -137,6 +155,46 @@ class LayerNormF32(nn.Module):
     def __call__(self, x):
         return _RawLayerNorm(epsilon=self.epsilon, use_bias=self.use_bias,
                              name="LayerNorm_0")(x)
+
+
+# Lower SpatialTransformer proj_in/proj_out 1x1 convs as token matmuls
+# (parameter tree identical to nn.Conv) so no convolution sits inside the
+# transformer trunk and XLA's layout assignment can keep the whole block
+# region in dot-friendly token-major layouts. Measured no-go on v5e
+# (flagship fwd, CFG batch 32): 62.5 ms/iter vs 60.7 baseline; combined
+# with DENSE_2D: 65.1 ms. XLA's in-context conv-emitter lowering of the
+# trunk dots — ~20 ms/iter at 10-45% per-op MXU efficiency in the trace —
+# still beats every explicit relayout alternative tried; the apparent
+# inefficiency is the price of the conv<->dot layout boundary, which the
+# alternatives pay more for. Kept for A/B measurement.
+PROJ_AS_DOT = False
+
+
+class PointwiseConv(nn.Module):
+    """1x1 conv expressed as a matmul over flattened tokens.
+
+    Parameter names/shapes match nn.Conv(kernel_size=(1,1)) exactly
+    (kernel [1,1,C,F], bias [F]) so converted checkpoints load unchanged.
+    """
+
+    features: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        init = (zeros_init if self.zero_init
+                else nn.initializers.lecun_normal())
+        kernel = self.param("kernel", init, (1, 1, c, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          jnp.float32)
+        lead = x.shape[:-1]
+        y = jnp.dot(x.reshape(-1, c),
+                    kernel.reshape(c, self.features).astype(x.dtype))
+        y = y + bias.astype(y.dtype)
+        return y.reshape(*lead, self.features)
 
 
 def conv(features: int, kernel: int, dtype: Dtype, *, stride: int = 1,
@@ -277,9 +335,9 @@ class CrossAttention(nn.Module):
             inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name=name,
         )
-        q = dense("to_q")(x)
-        k = dense("to_k")(ctx)
-        v = dense("to_v")(ctx)
+        q = _dense_2d(dense("to_q"), x)
+        k = _dense_2d(dense("to_k"), ctx)
+        v = _dense_2d(dense("to_v"), ctx)
         b, sq = q.shape[0], q.shape[1]
         sk = k.shape[1]
         q = q.reshape(b, sq, self.heads, self.head_dim)
@@ -289,9 +347,9 @@ class CrossAttention(nn.Module):
             q, k, v, causal=self.causal and context is None, mask=mask
         )
         out = out.reshape(b, sq, inner)
-        out = nn.Dense(
-            x.shape[-1], dtype=self.dtype, param_dtype=jnp.float32, name="to_out"
-        )(out)
+        out = _dense_2d(nn.Dense(
+            x.shape[-1], dtype=self.dtype, param_dtype=jnp.float32,
+            name="to_out"), out)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
@@ -306,15 +364,15 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         dim = x.shape[-1]
         inner = dim * self.mult
-        h = nn.Dense(
-            inner * 2, dtype=self.dtype, param_dtype=jnp.float32, name="proj_in"
-        )(x)
+        h = _dense_2d(nn.Dense(
+            inner * 2, dtype=self.dtype, param_dtype=jnp.float32,
+            name="proj_in"), x)
         a, gate = jnp.split(h, 2, axis=-1)
         h = a * nn.gelu(gate, approximate=False)  # exact erf, torch parity
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.Dense(
+        return _dense_2d(nn.Dense(
             dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out"
-        )(h)
+        ), h)
 
 
 class TransformerBlock(nn.Module):
@@ -372,7 +430,15 @@ class SpatialTransformer(nn.Module):
         inner = self.heads * self.head_dim
         x_in = x
         x = GroupNorm32(epsilon=1e-6, name="norm")(x)
-        x = conv(inner, 1, self.dtype, name="proj_in")(x)
+        if PROJ_AS_DOT:
+            proj_in = PointwiseConv(inner, dtype=self.dtype, name="proj_in")
+            proj_out = PointwiseConv(c, zero_init=True, dtype=self.dtype,
+                                     name="proj_out")
+        else:
+            proj_in = conv(inner, 1, self.dtype, name="proj_in")
+            proj_out = conv(c, 1, self.dtype, zero_init=True,
+                            name="proj_out")
+        x = proj_in(x)
         x = x.reshape(b, h * w, inner)
         for i in range(self.depth):
             x = TransformerBlock(
@@ -381,5 +447,5 @@ class SpatialTransformer(nn.Module):
                 dtype=self.dtype, name=f"block_{i}",
             )(x, context, deterministic=deterministic)
         x = x.reshape(b, h, w, inner)
-        x = conv(c, 1, self.dtype, zero_init=True, name="proj_out")(x)
+        x = proj_out(x)
         return x + x_in

@@ -131,6 +131,49 @@ def test_semantic_and_superres_openimages(tmp_path):
     assert p["LR_image"].min() >= -1.0 and p["LR_image"].max() <= 1.0
 
 
+def test_semantic_openimages_annotation_mode(tmp_path):
+    """Reference protocol (openimages.py:103-254): CSV-driven per-object
+    samples with class-labeled masks and one-hot segmentation."""
+    from rdm_tpu.data.openimages import SemanticOpenImagesTrain
+
+    root = tmp_path / "oi3"
+    os.makedirs(root / "train", exist_ok=True)
+    for i in range(2):
+        _write_img(str(root / "train" / f"img{i}.jpg"), seed=i)
+        mask = np.zeros((48, 48), dtype=np.uint8)
+        mask[8 * i:30, 12:40] = 255  # binary instance mask
+        Image.fromarray(mask).save(root / "train" / f"img{i}_m0.png")
+    (root / "segmentation_classes.txt").write_text("/m/cat\n/m/dog\n")
+    (root / "class-descriptions-boxable.csv").write_text(
+        "/m/cat,Cat\n/m/dog,Dog\n")
+    (root / "train-annotations-object-segmentation.csv").write_text(
+        "MaskPath,ImageID,LabelName\n"
+        "img0_m0.png,img0,/m/dog\n"
+        "img1_m0.png,img1,/m/cat\n"
+        "img1_m0.png,img1,/m/unknown\n")  # unknown class is skipped
+
+    ds = SemanticOpenImagesTrain(str(root), size=32, random_crop=False)
+    assert ds.annotation_mode
+    assert len(ds) == 2  # unknown-class row dropped
+    assert ds.num_classes == 3
+    s = ds[0]
+    assert s["class_name"] == "Dog" and s["class_label"] == 2
+    assert s["image"].shape == (32, 32, 3)
+    assert s["mask"].shape == (32, 32)
+    assert set(np.unique(s["mask"])) <= {0, 2}
+    assert s["segmentation"].shape == (32, 32, 3)
+    assert s["segmentation"].dtype == np.float32
+    # one-hot consistency with the integer mask
+    assert (s["segmentation"].argmax(-1) == s["mask"]).all()
+    s1 = ds[1]
+    assert s1["class_label"] == 1 and s1["class_name"] == "Cat"
+    # random-crop path keeps image/mask aligned shapes
+    ds_rc = SemanticOpenImagesTrain(str(root), size=24, random_crop=True,
+                                    seed=3)
+    r = ds_rc[0]
+    assert r["image"].shape == (24, 24, 3) and r["mask"].shape == (24, 24)
+
+
 def test_video_builder(tmp_path):
     from rdm_tpu.retrieval.video_builder import (
         VideoClipSampler,
