@@ -49,6 +49,21 @@ def _dense_2d(dense: nn.Module, x: jnp.ndarray) -> jnp.ndarray:
     return y.reshape(*lead, y.shape[-1])
 
 
+# Evaluate up-path ResBlocks on (h, skip) part pairs instead of one
+# concatenated tensor: GN stats, SiLU, conv1 and the 1x1 residual conv all
+# distribute exactly over the channel concat (conv(cat(a,b),W) =
+# conv(a,W_a)+conv(b,W_b); no GN group straddles the boundary for the
+# released configs), so the concat buffer never materializes and each part
+# conv has the same shape as the down-path convs. Motivation: the trace
+# shows up-path conv1-over-concat at 44% MXU efficiency vs 68% for the
+# identical-FLOPs down-path convs. Measured no-go on v5e (flagship fwd,
+# CFG batch 32): 61.5 ms/iter vs 60.7 with the plain concat — XLA's
+# concat-fused conv beats the explicit split (the split pays a second
+# output buffer + add and loses the concat-gather fusion). Default off;
+# kept because it is exact (parity-tested) and may win on other shapes.
+SPLIT_SKIP_CONCAT = False
+
+
 class _RawGroupNorm(nn.Module):
     """bf16-native GroupNorm: statistics accumulate in float32 (converts
     fused into the reduction — nothing f32 is materialized), normalization
@@ -68,24 +83,32 @@ class _RawGroupNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        c = x.shape[-1]
+        # x may be a tuple of tensors treated as a virtual channel concat
+        # (see SPLIT_SKIP_CONCAT): stats/params span the concatenated
+        # channel axis but the big tensors are never concatenated.
+        parts = x if isinstance(x, tuple) else (x,)
+        c = sum(p.shape[-1] for p in parts)
         g = self.num_groups
         cpg = c // g
-        b = x.shape[0]
+        b = parts[0].shape[0]
         scale = self.param("scale", nn.initializers.ones, (c,),
                            jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
         # lane-preserving: reduce spatial axes per channel (C stays the
         # 128-lane dim), then aggregate the tiny [B, C] sums into groups —
         # never reshape the big tensor into (g, C/g)
-        spatial_axes = tuple(range(1, x.ndim - 1))
-        n_elems = cpg * int(np.prod([x.shape[a] for a in spatial_axes]))
+        spatial_axes = tuple(range(1, parts[0].ndim - 1))
+        n_elems = cpg * int(np.prod(
+            [parts[0].shape[a] for a in spatial_axes]))
         # note: an optimization_barrier here helps isolated GN (575 vs 411
         # GB/s) but hurts the full U-Net (61.7 vs 60.3 ms) by blocking
         # GN-apply fusion into the convs — measured, do not add
-        xf = x.astype(jnp.float32)
-        s = jnp.sum(xf, axis=spatial_axes)  # [B, C] f32
-        s2 = jnp.sum(jnp.square(xf), axis=spatial_axes)
+        s = jnp.concatenate(
+            [jnp.sum(p.astype(jnp.float32), axis=spatial_axes)
+             for p in parts], axis=-1)  # [B, C] f32
+        s2 = jnp.concatenate(
+            [jnp.sum(jnp.square(p.astype(jnp.float32)), axis=spatial_axes)
+             for p in parts], axis=-1)
         sg = s.reshape(b, g, cpg).sum(-1) / n_elems  # [B, g] group mean
         s2g = s2.reshape(b, g, cpg).sum(-1) / n_elems
         var = jnp.maximum(s2g - jnp.square(sg), 0.0)
@@ -93,11 +116,18 @@ class _RawGroupNorm(nn.Module):
         # expand group stats back to per-channel vectors [B, C]
         mean_c = jnp.repeat(sg, cpg, axis=1)
         inv_c = jnp.repeat(inv, cpg, axis=1)
-        bshape = (b,) + (1,) * (x.ndim - 2) + (c,)
-        eff_scale = (inv_c[..., :] * scale[None]).reshape(bshape)
-        eff_bias = (bias[None] - mean_c * inv_c * scale[None]).reshape(
-            bshape)
-        return x * eff_scale.astype(x.dtype) + eff_bias.astype(x.dtype)
+        eff_scale = inv_c * scale[None]  # [B, C]
+        eff_bias = bias[None] - mean_c * inv_c * scale[None]
+        outs = []
+        off = 0
+        for p in parts:
+            cp = p.shape[-1]
+            bshape = (b,) + (1,) * (p.ndim - 2) + (cp,)
+            es = eff_scale[:, off:off + cp].reshape(bshape)
+            eb = eff_bias[:, off:off + cp].reshape(bshape)
+            outs.append(p * es.astype(p.dtype) + eb.astype(p.dtype))
+            off += cp
+        return outs[0] if not isinstance(x, tuple) else tuple(outs)
 
 
 class GroupNorm32(nn.Module):
@@ -112,7 +142,9 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        groups = math.gcd(self.num_groups, x.shape[-1])
+        c = (sum(p.shape[-1] for p in x) if isinstance(x, tuple)
+             else x.shape[-1])
+        groups = math.gcd(self.num_groups, c)
         return _RawGroupNorm(num_groups=groups, epsilon=self.epsilon,
                              name="GroupNorm_0")(x)
 
@@ -213,6 +245,44 @@ def conv(features: int, kernel: int, dtype: Dtype, *, stride: int = 1,
     )
 
 
+class _SplitConv(nn.Module):
+    """Conv over a virtual channel-concat of input parts.
+
+    Parameter names/shapes match nn.Conv over the concatenated input
+    (kernel [k,k,C_total,F], bias [F]) so checkpoints load unchanged;
+    computes conv(cat(parts), W) as sum_p conv(part_p, W_p) with f32
+    partial accumulation — the concat tensor never exists.
+    """
+
+    features: int
+    kernel: int
+    zero_init: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, parts):
+        c_total = sum(p.shape[-1] for p in parts)
+        init = (zeros_init if self.zero_init
+                else nn.initializers.lecun_normal())
+        kern = self.param("kernel", init,
+                          (self.kernel, self.kernel, c_total,
+                           self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        acc = None
+        off = 0
+        for p in parts:
+            cp = p.shape[-1]
+            w = kern[:, :, off:off + cp, :].astype(p.dtype)
+            y = jax.lax.conv_general_dilated(
+                p, w, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=jnp.float32)
+            acc = y if acc is None else acc + y
+            off += cp
+        return (acc + bias[None, None, None, :]).astype(self.dtype)
+
+
 class ResBlock(nn.Module):
     """Timestep-conditioned residual block.
 
@@ -229,16 +299,39 @@ class ResBlock(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, emb, *, deterministic: bool = True):
-        in_ch = x.shape[-1]
-        h = nn.silu(GroupNorm32(name="norm1")(x))
-        if self.up:
-            h = _resize_nearest(h, 2)
-            x = _resize_nearest(x, 2)
-        elif self.down:
-            h = nn.avg_pool(h, (2, 2), strides=(2, 2))
-            x = nn.avg_pool(x, (2, 2), strides=(2, 2))
-        h = conv(self.out_channels, 3, self.dtype, name="conv1")(h)
+    def __call__(self, x, emb, *, skip=None, deterministic: bool = True):
+        # `skip` is an optional second input treated as channel-concatenated
+        # after x (the U-Net up path). With SPLIT_SKIP_CONCAT every op of
+        # the prologue distributes over the virtual concat (see _SplitConv)
+        # so the concat tensor never materializes.
+        if skip is not None:
+            c_total = x.shape[-1] + skip.shape[-1]
+            groups = math.gcd(32, c_total)
+            cpg = c_total // groups
+            split_ok = (SPLIT_SKIP_CONCAT and not self.up and not self.down
+                        and x.shape[-1] % cpg == 0
+                        and c_total != self.out_channels)
+            if not split_ok:
+                x = jnp.concatenate([x, skip], axis=-1)
+                skip = None
+        if skip is not None:
+            hx, hs = GroupNorm32(name="norm1")((x, skip))
+            h_parts = (nn.silu(hx), nn.silu(hs))
+            h = _SplitConv(self.out_channels, 3, dtype=self.dtype,
+                           name="conv1")(h_parts)
+            x = _SplitConv(self.out_channels, 1, dtype=self.dtype,
+                           name="skip")((x, skip))
+            in_ch = self.out_channels  # residual already projected
+        else:
+            in_ch = x.shape[-1]
+            h = nn.silu(GroupNorm32(name="norm1")(x))
+            if self.up:
+                h = _resize_nearest(h, 2)
+                x = _resize_nearest(x, 2)
+            elif self.down:
+                h = nn.avg_pool(h, (2, 2), strides=(2, 2))
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+            h = conv(self.out_channels, 3, self.dtype, name="conv1")(h)
 
         emb_out = nn.Dense(
             2 * self.out_channels if self.use_scale_shift_norm else self.out_channels,

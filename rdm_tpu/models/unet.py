@@ -155,9 +155,10 @@ class UNet(nn.Module):
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
                 ch = mult * ch0
-                h = res(ch, f"up_{level}_{i}_res")(h, emb,
+                # skip passed separately: the ResBlock evaluates the virtual
+                # channel-concat without materializing it (SPLIT_SKIP_CONCAT)
+                h = res(ch, f"up_{level}_{i}_res")(h, emb, skip=skip,
                                                    deterministic=deterministic)
                 if ds in cfg.attention_resolutions:
                     h = attn(ch, f"up_{level}_{i}_attn")(

@@ -192,3 +192,82 @@ def test_encoder_unet_pooling():
     sp = EncoderUNet(cfg, out_features=10, pool="spatial")
     params2 = sp.init(jax.random.PRNGKey(0), x, t)
     assert sp.apply(params2, x, t).shape == (2, 10)
+
+
+def test_resblock_split_skip_concat_parity():
+    """SPLIT_SKIP_CONCAT evaluates the virtual channel-concat exactly:
+    identical param tree and outputs vs the materialized concat (the up
+    path's skip handling). Measured perf no-go on v5e but kept exact."""
+    import rdm_tpu.models.layers as L
+
+    rb = L.ResBlock(out_channels=8, dtype=jnp.float32)
+    xa = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    xs = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+    emb = jax.random.normal(jax.random.PRNGKey(2), (2, 16))
+    params = rb.init(jax.random.PRNGKey(3), xa, emb, skip=xs)
+    # same params drive the concat path (skip folded into x)
+    y_cat = rb.apply(params, jnp.concatenate([xa, xs], -1), emb)
+    old = L.SPLIT_SKIP_CONCAT
+    try:
+        L.SPLIT_SKIP_CONCAT = True
+        y_split = rb.apply(params, xa, emb, skip=xs)
+        # GN-group straddle (parts not aligned) must fall back to concat
+        xb = jax.random.normal(jax.random.PRNGKey(4), (2, 4, 4, 5))
+        xt = jax.random.normal(jax.random.PRNGKey(5), (2, 4, 4, 3))
+        p2 = rb.init(jax.random.PRNGKey(6), xb, emb, skip=xt)
+        y2a = rb.apply(p2, xb, emb, skip=xt)
+        y2b = rb.apply(p2, jnp.concatenate([xb, xt], -1), emb)
+    finally:
+        L.SPLIT_SKIP_CONCAT = old
+    np.testing.assert_allclose(np.asarray(y_split), np.asarray(y_cat),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(y2a), np.asarray(y2b), atol=2e-5)
+
+
+def test_pointwise_conv_matches_conv1x1():
+    """PointwiseConv (PROJ_AS_DOT path) matches nn.Conv(1x1) with the same
+    param tree."""
+    import flax.linen as nn
+
+    import rdm_tpu.models.layers as L
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 6))
+    pw = L.PointwiseConv(5, dtype=jnp.float32)
+    params = pw.init(jax.random.PRNGKey(1), x)
+    ref = nn.Conv(features=5, kernel_size=(1, 1), padding="SAME",
+                  dtype=jnp.float32, param_dtype=jnp.float32)
+    y_ref = ref.apply(params, x)
+    y = pw.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=1e-5)
+
+
+def test_groupnorm_tuple_parts_match_concat():
+    import rdm_tpu.models.layers as L
+
+    a = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8))
+    b = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 4, 8))
+    gn = L.GroupNorm32(num_groups=4)
+    params = gn.init(jax.random.PRNGKey(2), jnp.concatenate([a, b], -1))
+    y_cat = gn.apply(params, jnp.concatenate([a, b], -1))
+    ya, yb = gn.apply(params, (a, b))
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate([ya, yb], -1)), np.asarray(y_cat),
+        atol=1e-5)
+
+
+def test_dense_2d_flag_matches_3d():
+    import rdm_tpu.models.layers as L
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 16))
+    st = L.SpatialTransformer(heads=2, head_dim=8, dtype=jnp.float32)
+    params = st.init(jax.random.PRNGKey(2), x, ctx)
+    old_d, old_p = L.DENSE_2D, L.PROJ_AS_DOT
+    try:
+        L.DENSE_2D, L.PROJ_AS_DOT = False, False
+        y0 = st.apply(params, x, ctx)
+        L.DENSE_2D, L.PROJ_AS_DOT = True, True
+        y1 = st.apply(params, x, ctx)
+    finally:
+        L.DENSE_2D, L.PROJ_AS_DOT = old_d, old_p
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
