@@ -38,6 +38,11 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
+# "shared" runs the context-independent U-Net prefix once per CFG pair
+# (exact same math as the reference's batch doubling — parity-tested;
+# measured 5.26 vs 5.10 img/s) and is the RDMPipeline default; "double"
+# is the reference-shaped path (ddim.py:229-238).
+CFG_MODE = os.environ.get("BENCH_CFG_MODE", "shared")
 DDIM_STEPS = 50
 K_NN = 4
 GUIDANCE = 2.0
@@ -98,7 +103,8 @@ def main():
     schedule = DiffusionSchedule.create(
         cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
     sampler = DDIMSamplerConfig(num_steps=DDIM_STEPS,
-                                guidance_scale=GUIDANCE)
+                                guidance_scale=GUIDANCE,
+                                cfg_mode=CFG_MODE)
 
     # synthetic CLIP database generated ON DEVICE (host RNG for 656M values
     # takes minutes on a weak core; compute cost is identical either way)
@@ -158,24 +164,35 @@ def main():
     # a lax.scan body ONCE, so measure the denoiser separately and scale by
     # steps (CFG batch doubling is inside the measured forward).
     try:
+        def unet_flops_at(x_batch, ctx_batch):
+            xc = jnp.zeros((x_batch, cfg.image_size, cfg.image_size,
+                            cfg.channels))
+            tc = jnp.zeros((x_batch,), dtype=jnp.int32)
+            cc = jnp.zeros((ctx_batch, K_NN * 1, cfg.context_dim))
+            comp = jax.jit(
+                lambda p, x, t, c: model.apply(p, x, t, c)).lower(
+                params, xc, tc, cc).compile()
+            return comp.cost_analysis()["flops"]
+
         cfg_batch = 2 * BATCH if GUIDANCE != 1.0 else BATCH
-        xc = jnp.zeros((cfg_batch, cfg.image_size, cfg.image_size,
-                        cfg.channels))
-        tc = jnp.zeros((cfg_batch,), dtype=jnp.int32)
-        cc = jnp.zeros((cfg_batch, K_NN, cfg.context_dim))
-        unet_comp = jax.jit(
-            lambda p, x, t, c: model.apply(p, x, t, c)).lower(
-            params, xc, tc, cc).compile()
-        unet_flops = unet_comp.cost_analysis()["flops"]
+        # the reference's workload (full batch doubling) anchors the A100
+        # estimate regardless of our cfg_mode
+        unet_flops_ref = unet_flops_at(cfg_batch, cfg_batch)
+        unet_flops_actual = (
+            unet_flops_at(BATCH, cfg_batch)
+            if (GUIDANCE != 1.0 and CFG_MODE == "shared")
+            else unet_flops_ref)
         pipe_comp = pipeline.lower(params, vq_params, db_norm, q,
                                    jax.random.PRNGKey(2)).compile()
         rest_flops = pipe_comp.cost_analysis()["flops"]  # knn+decode+1 body
-        flops_per_img = (DDIM_STEPS * unet_flops + rest_flops) / BATCH
-        a100_imgs_per_sec = (A100_TF32_PEAK * A100_MFU_EST) / flops_per_img
+        flops_per_img = (DDIM_STEPS * unet_flops_actual + rest_flops) / BATCH
+        ref_flops_per_img = (DDIM_STEPS * unet_flops_ref + rest_flops) / BATCH
+        a100_imgs_per_sec = (A100_TF32_PEAK * A100_MFU_EST) / ref_flops_per_img
         vs_baseline = imgs_per_sec / a100_imgs_per_sec
         mfu = imgs_per_sec * flops_per_img / 197e12  # v5e bf16 peak
         print(f"# flops/img={flops_per_img:.3e} v5e_mfu={mfu:.2%} "
-              f"a100_est={a100_imgs_per_sec:.2f} img/s", flush=True)
+              f"a100_est={a100_imgs_per_sec:.2f} img/s "
+              f"cfg_mode={CFG_MODE}", flush=True)
     except Exception as e:
         print(f"# cost analysis unavailable: {e}", flush=True)
         vs_baseline = float("nan")

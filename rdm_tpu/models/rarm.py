@@ -204,10 +204,17 @@ class RARM(nn.Module):
             cross_k=tuple(cross_k),
             cross_v=tuple(cross_v))
 
-    def decode_step(self, token, pos, cache: DecodeCache
+    def decode_step(self, token, pos, cache: DecodeCache,
+                    window: Optional[int] = None
                     ) -> Tuple[jnp.ndarray, DecodeCache]:
         """token [B] int32, pos scalar int32 → (logits [B, out_vocab],
-        updated cache)."""
+        updated cache).
+
+        `window` (static) bounds the self-attention read to the cache's
+        first `window` positions — valid whenever pos < window. The decode
+        loop runs in growing-window stages so early steps never stream the
+        full [B, T, H, D] buffers from HBM (self-attn cache reads measured
+        at 36% of decode device time with full-cache reads)."""
         x = (self.token_emb(token[:, None]).astype(self.dtype)
              + jax.lax.dynamic_slice_in_dim(
                  self.positional_encoding, pos, 1, axis=0
@@ -223,7 +230,9 @@ class RARM(nn.Module):
                                                         axis=1)
             sv[d] = jax.lax.dynamic_update_slice_in_dim(sv[d], v_new, pos,
                                                         axis=1)
-            x = x + block.attn1.attend_cached(q_in, sk[d], sv[d], pos)
+            k_view = sk[d] if window is None else sk[d][:, :window]
+            v_view = sv[d] if window is None else sv[d][:, :window]
+            x = x + block.attn1.attend_cached(q_in, k_view, v_view, pos)
             h = block.norm2(x)
             x = x + block.attn2.attend_cached(
                 h, cache.cross_k[d], cache.cross_v[d],
@@ -318,10 +327,19 @@ class TokenSequenceTransformer(nn.Module):
             cross_attend=context is not None, name="trunk")(x, context)
 
 
-def top_k_filter(logits: jnp.ndarray, k: int) -> jnp.ndarray:
+def top_k_filter(logits: jnp.ndarray, k: int,
+                 approx: bool = False) -> jnp.ndarray:
     """Keep top-k logits, set the rest to -inf (transformer.py top_k_logits
-    semantics)."""
-    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    semantics).
+
+    approx=True uses the TPU-native approx_max_k to find the threshold
+    (the exact [B, 16384] top_k lowers to a full sort — measured 0.167 ms
+    per decode step, ~10% of RARM decode). Recall ~0.95: a few near-tie
+    tail logits may swap in/out of the keep set; default stays exact."""
+    if approx:
+        kth = jax.lax.approx_max_k(logits, k)[0][..., -1:]
+    else:
+        kth = jax.lax.top_k(logits, k)[0][..., -1:]
     return jnp.where(logits < kth, -jnp.inf, logits)
 
 
@@ -335,10 +353,18 @@ def sample_tokens(
     temperature: float = 1.0,
     top_k: int = 256,
     guidance_scale: float = 1.0,
+    approx_top_k: bool = False,
+    window_chunk: int = 64,
 ) -> jnp.ndarray:
     """KV-cached autoregressive sampling. neighbors [B, S_ctx, D].
 
     Returns [B, seq_len] int32 VQ code indices. Jit-able end to end.
+
+    The decode runs as a sequence of growing-window scan stages
+    (`window_chunk` steps each): steps in [0, w) only stream the first w
+    cache positions from HBM, cutting average self-attention cache
+    traffic ~37% vs full-cache reads (numerically identical — positions
+    past `pos` are masked either way).
     """
     cfg = model.config
     steps = steps or cfg.seq_len
@@ -353,21 +379,35 @@ def sample_tokens(
                         method=RARM.init_cache)
     sos = jnp.full((b,), cfg.sos_token, dtype=jnp.int32)
 
-    def body(carry, step):
-        token, cache, rng = carry
-        tok_in = jnp.concatenate([token, token], axis=0) if use_cfg else token
-        logits, cache = model.apply(params, tok_in, step, cache,
-                                    method=RARM.decode_step)
-        if use_cfg:
-            lc, lu = jnp.split(logits, 2, axis=0)
-            logits = lu + guidance_scale * (lc - lu)
-        logits = logits / temperature
-        if top_k:
-            logits = top_k_filter(logits, top_k)
-        rng, sub = jax.random.split(rng)
-        nxt = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
-        return (nxt, cache, rng), nxt
+    def make_body(window):
+        def body(carry, step):
+            token, cache, rng = carry
+            tok_in = (jnp.concatenate([token, token], axis=0)
+                      if use_cfg else token)
+            logits, cache = model.apply(params, tok_in, step, cache,
+                                        window=window,
+                                        method=RARM.decode_step)
+            if use_cfg:
+                lc, lu = jnp.split(logits, 2, axis=0)
+                logits = lu + guidance_scale * (lc - lu)
+            logits = logits / temperature
+            if top_k:
+                logits = top_k_filter(logits, top_k, approx=approx_top_k)
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, logits,
+                                         axis=-1).astype(jnp.int32)
+            return (nxt, cache, rng), nxt
 
-    (_, _, _), tokens = jax.lax.scan(
-        body, (sos, cache, rng), jnp.arange(steps, dtype=jnp.int32))
+        return body
+
+    carry = (sos, cache, rng)
+    outs = []
+    for start in range(0, steps, window_chunk):
+        end = min(start + window_chunk, steps)
+        window = end if end < cache.self_k[0].shape[1] else None
+        carry, toks = jax.lax.scan(
+            make_body(window), carry,
+            jnp.arange(start, end, dtype=jnp.int32))
+        outs.append(toks)
+    tokens = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return jnp.transpose(tokens, (1, 0))  # [B, steps]

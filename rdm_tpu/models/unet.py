@@ -87,10 +87,30 @@ class UNet(nn.Module):
         """return_features=True skips the zero-init out head and returns
         the trunk features [B, H, W, model_channels] — the reference
         GITWrapper.unet_forward path (openaimodel.py:645-656), which feeds
-        an id-predictor head instead of self.out."""
+        an id-predictor head instead of self.out.
+
+        Shared-prefix CFG: when `context` has batch 2B while `x` has batch
+        B, the two context halves are taken as the (cond, uncond) pair of
+        classifier-free guidance over the SAME x/t (reference
+        ddim.py:229-238 doubles the whole batch instead). Every block
+        before the first cross-attention is context-independent, so the
+        prefix (conv_in, the pre-attention ResBlocks, the first
+        downsamples) runs once at batch B and the stream is tiled to 2B
+        exactly where the context first enters; pre-divergence skip
+        connections are tiled at consumption. Bit-exact math, ~8% fewer
+        FLOPs per CFG step at the flagship config. Output batch follows
+        the context (2B)."""
         cfg = self.config
         ch0 = cfg.model_channels
         time_dim = ch0 * 4
+
+        shared_cfg = (context is not None
+                      and context.shape[0] == 2 * x.shape[0]
+                      and context.shape[0] > 0)
+        tiled = not shared_cfg  # flips True once the stream is doubled
+
+        def tile2(a):
+            return jnp.concatenate([a, a], axis=0)
 
         t_emb = timestep_embedding(t, ch0)
         emb = nn.Dense(time_dim, dtype=self.dtype, param_dtype=jnp.float32,
@@ -133,6 +153,8 @@ class UNet(nn.Module):
                 h = res(ch, f"down_{level}_{i}_res")(h, emb,
                                                      deterministic=deterministic)
                 if ds in cfg.attention_resolutions:
+                    if not tiled:
+                        h, emb, tiled = tile2(h), tile2(emb), True
                     h = attn(ch, f"down_{level}_{i}_attn")(
                         h, context, deterministic=deterministic)
                 hs.append(h)
@@ -148,6 +170,8 @@ class UNet(nn.Module):
 
         # ---- middle ----
         h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
+        if not tiled:  # no attention in the down path at all
+            h, emb, tiled = tile2(h), tile2(emb), True
         h = attn(ch, "mid_attn")(h, context, deterministic=deterministic)
         h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
 
@@ -155,6 +179,8 @@ class UNet(nn.Module):
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
             for i in range(cfg.num_res_blocks + 1):
                 skip = hs.pop()
+                if skip.shape[0] != h.shape[0]:  # pre-divergence skip
+                    skip = tile2(skip)
                 ch = mult * ch0
                 # skip passed separately: the ResBlock evaluates the virtual
                 # channel-concat without materializing it (SPLIT_SKIP_CONCAT)

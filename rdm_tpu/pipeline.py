@@ -289,7 +289,8 @@ class RDMPipeline:
         if ctx.ndim == 4:
             ctx = ctx.reshape(ctx.shape[0], -1, ctx.shape[-1])
         sampler = DDIMSamplerConfig(num_steps=steps,
-                                    guidance_scale=guidance_scale)
+                                    guidance_scale=guidance_scale,
+                                    cfg_mode="shared")
         uncond = None
         if guidance_scale != 1.0:
             uncond = self.model.apply(
@@ -350,7 +351,8 @@ class RDMPipeline:
             return gather_unnormalized(db_norm, row_norms, nns)
 
         sampler = DDIMSamplerConfig(num_steps=steps,
-                                    guidance_scale=guidance_scale)
+                                    guidance_scale=guidance_scale,
+                                    cfg_mode="shared")
         uncond = None
         if guidance_scale != 1.0:
             uncond = self.model.apply(
@@ -369,7 +371,8 @@ class RDMPipeline:
     def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
                   guidance_scale: float, seed: int) -> np.ndarray:
         sampler = DDIMSamplerConfig(num_steps=steps,
-                                    guidance_scale=guidance_scale)
+                                    guidance_scale=guidance_scale,
+                                    cfg_mode="shared")
         # reference CLIs pass unconditional_retro_guidance_label=0.0:
         # the null context is the guidance vector scaled to norm zero
         z = sample_with_neighbors(
@@ -454,7 +457,8 @@ class RARMPipeline:
             self, batch_size: int, *, k_nn: int = 4, top_k: int = 256,
             temperature: float = 1.0, guidance_scale: float = 1.0,
             memsize=100, use_weights: bool = False,
-            qids: Optional[np.ndarray] = None, seed: int = 0
+            qids: Optional[np.ndarray] = None, seed: int = 0,
+            approx_top_k: bool = False
     ) -> Dict[str, Any]:
         """sample_from_rdata equivalent (transformer.py:296-391)."""
         if self.retrieval is None:
@@ -465,7 +469,8 @@ class RARMPipeline:
         found = self.retrieval.engine.search(jnp.asarray(q_emb), k=k_nn)
         neighbors = jnp.asarray(found["embeddings"], dtype=jnp.float32)
         return {"samples_with_sampled_nns": self._generate(
-            neighbors, top_k, temperature, guidance_scale, seed)}
+            neighbors, top_k, temperature, guidance_scale, seed,
+            approx_top_k=approx_top_k)}
 
     def sample_with_query(self, query_embeddings: np.ndarray, *,
                           k_nn: int = 4, top_k: int = 256,
@@ -473,7 +478,8 @@ class RARMPipeline:
                           guidance_scale: float = 1.0,
                           only_query: bool = False,
                           unconditional: bool = False,
-                          seed: int = 0) -> Dict[str, Any]:
+                          seed: int = 0,
+                          approx_top_k: bool = False) -> Dict[str, Any]:
         q = np.asarray(query_embeddings, dtype=np.float32)
         if unconditional:
             neighbors = np.zeros_like(q)[:, None]
@@ -490,7 +496,7 @@ class RARMPipeline:
                                        axis=1)
         return {"query_samples": self._generate(
             jnp.asarray(neighbors), top_k, temperature, guidance_scale,
-            seed)}
+            seed, approx_top_k=approx_top_k)}
 
     def embed_caption(self, caption: str, batch_size: int) -> np.ndarray:
         if self.clip is None:
@@ -500,11 +506,11 @@ class RARMPipeline:
                                           method=CLIP.encode_text))
 
     def _generate(self, neighbors, top_k, temperature, guidance_scale,
-                  seed) -> np.ndarray:
+                  seed, approx_top_k: bool = False) -> np.ndarray:
         tokens = sample_tokens(
             self.model, self.params, neighbors, jax.random.PRNGKey(seed),
             temperature=temperature, top_k=top_k,
-            guidance_scale=guidance_scale)
+            guidance_scale=guidance_scale, approx_top_k=approx_top_k)
         side = self.config.code_side
         grid = tokens.reshape(-1, side, side)
         images = self._decode_code(self.first_stage_params, grid)

@@ -34,6 +34,12 @@ class DDIMSamplerConfig:
     temperature: float = 1.0
     guidance_scale: float = 1.0  # 1.0 => no CFG branch compiled in
     log_every_t: int = 0  # 0 => no intermediates
+    # "double": tile x/t/context to 2B through one denoiser call (reference
+    # ddim.py:229-238). "shared": pass x/t at B with the stacked
+    # [cond; uncond] context at 2B — requires a denoiser that implements
+    # shared-prefix CFG (UNet auto-detects the 2B context and runs the
+    # context-independent prefix once; exact same math, fewer FLOPs).
+    cfg_mode: str = "double"
 
 
 def ddim_sample(
@@ -84,6 +90,8 @@ def ddim_sample(
     use_cfg = config.guidance_scale != 1.0
     if use_cfg and uncond_context is None:
         raise ValueError("guidance_scale != 1 requires uncond_context")
+    if config.cfg_mode not in ("double", "shared"):
+        raise ValueError(f"bad cfg_mode '{config.cfg_mode}'")
 
     rng, init_rng = jax.random.split(rng)
     x = (x_init if x_init is not None
@@ -133,10 +141,12 @@ def ddim_sample(
             eps_c = denoise_fn(x, t, ctx)
             return guider + config.guidance_scale * (
                 eps_c.astype(jnp.float32) - guider)
-        x2 = jnp.concatenate([x, x], axis=0)
-        t2 = jnp.concatenate([t, t], axis=0)
-        eps2 = denoise_fn(x2, t2,
-                          jnp.concatenate([ctx, uncond_context], axis=0))
+        ctx2 = jnp.concatenate([ctx, uncond_context], axis=0)
+        if config.cfg_mode == "shared":
+            eps2 = denoise_fn(x, t, ctx2)
+        else:
+            eps2 = denoise_fn(jnp.concatenate([x, x], axis=0),
+                              jnp.concatenate([t, t], axis=0), ctx2)
         eps_c, eps_u = jnp.split(eps2, 2, axis=0)
         return eps_u + config.guidance_scale * (eps_c - eps_u)
 
@@ -231,9 +241,12 @@ def ddim_retro_sample(
     def eps_model(x, t, ctx):
         if not use_cfg:
             return denoise_fn(x, t, ctx)
-        eps2 = denoise_fn(jnp.concatenate([x, x], 0),
-                          jnp.concatenate([t, t], 0),
-                          jnp.concatenate([ctx, uncond_context], 0))
+        ctx2 = jnp.concatenate([ctx, uncond_context], 0)
+        if config.cfg_mode == "shared":
+            eps2 = denoise_fn(x, t, ctx2)
+        else:
+            eps2 = denoise_fn(jnp.concatenate([x, x], 0),
+                              jnp.concatenate([t, t], 0), ctx2)
         eps_c, eps_u = jnp.split(eps2, 2, axis=0)
         return eps_u + config.guidance_scale * (eps_c - eps_u)
 

@@ -33,6 +33,8 @@ def main():
     p.add_argument("--k_nn", type=int, default=4)
     p.add_argument("--cfg", action="store_true",
                    help="guidance 2.0 (doubles the decode batch)")
+    p.add_argument("--approx_top_k", action="store_true",
+                   help="approx_max_k top-k threshold (skips the full sort)")
     opt = p.parse_args()
 
     from rdm_tpu.models.rarm import RARM, RARMConfig, sample_tokens
@@ -58,7 +60,8 @@ def main():
     guidance = 2.0 if opt.cfg else 1.0
 
     fn = jax.jit(lambda p, n, r: sample_tokens(
-        model, p, n, r, guidance_scale=guidance))
+        model, p, n, r, guidance_scale=guidance,
+        approx_top_k=opt.approx_top_k))
     print("compiling decode loop...", flush=True)
     t0 = time.perf_counter()
     np.asarray(fn(params, neighbors, jax.random.PRNGKey(1)))

@@ -44,6 +44,10 @@ def parse_args() -> argparse.Namespace:
                    help="zero-vector neighbors")
     p.add_argument("--use_weights", action="store_true")
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--approx_top_k", action="store_true",
+                   help="TPU-native approx_max_k for the top-k threshold "
+                        "(~0.95 recall on near-tie tail logits, skips the "
+                        "full [B,16384] sort — ~10%% faster decode)")
     opt = p.parse_args()
     if opt.top_m > 1.0:
         opt.top_m = int(opt.top_m)
@@ -84,14 +88,16 @@ def main() -> None:
                 opt.batch_size, k_nn=opt.k_nn, top_k=opt.top_k,
                 temperature=opt.temperature,
                 guidance_scale=opt.guidance_scale, memsize=opt.top_m,
-                use_weights=opt.use_weights, seed=seed)
+                use_weights=opt.use_weights, seed=seed,
+                approx_top_k=opt.approx_top_k)
         else:
             logs = pipe.sample_with_query(
                 query, k_nn=opt.k_nn, top_k=opt.top_k,
                 temperature=opt.temperature,
                 guidance_scale=opt.guidance_scale,
                 only_query=opt.only_caption,
-                unconditional=opt.unconditional, seed=seed)
+                unconditional=opt.unconditional, seed=seed,
+                approx_top_k=opt.approx_top_k)
         save_batch(logs, opt.savepath, stamp, n)
         print(f"run {n + 1}/{opt.n_runs} done")
     print("Done")

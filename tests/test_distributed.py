@@ -71,3 +71,53 @@ def test_rdm_log_images_grids():
     imgs = np.zeros((5, 8, 8, 3), dtype=np.uint8)
     grid = make_grid(imgs, n_per_row=2)
     assert grid.shape == (3 * 8, 2 * 8, 3)
+
+
+def test_data_parallel_ddim_sampling_matches_single_device():
+    """Serving scale-out: the whole CFG DDIM scan (shared-prefix mode,
+    the RDMPipeline default) runs under a batch sharding over the `data`
+    mesh axis and must produce the single-device result exactly — XLA
+    inserts no cross-device math for a pure DP sampler, so this guards
+    both correctness and the absence of accidental collectives."""
+    from jax.sharding import NamedSharding
+
+    from rdm_tpu.models.unet import UNet, UNetConfig
+    from rdm_tpu.ops.schedules import DiffusionSchedule
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    cfg = UNetConfig(
+        in_channels=3, out_channels=3, model_channels=32,
+        num_res_blocks=1, attention_resolutions=(2,),
+        channel_mult=(1, 2), num_head_channels=16, context_dim=64)
+    model = UNet(cfg)
+    b = 8
+    x = jnp.zeros((b, 16, 16, 3))
+    t = jnp.zeros((b,), dtype=jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (b, 4, 64))
+    unc = jnp.zeros((b, 4, 64))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params)
+
+    schedule = DiffusionSchedule.create(timesteps=20)
+    scfg = DDIMSamplerConfig(num_steps=4, guidance_scale=2.0,
+                             cfg_mode="shared")
+
+    def run(p, c, u, r):
+        fn = lambda xx, tt, cc: model.apply(p, xx, tt, cc)
+        out, _ = ddim_sample(fn, schedule, scfg, (b, 16, 16, 3), c, r,
+                             uncond_context=u)
+        return out
+
+    rng = jax.random.PRNGKey(7)
+    single = jax.jit(run)(params, ctx, unc, rng)
+
+    mesh = make_mesh(data=8, db=1)
+    batch_sharding = NamedSharding(mesh, P("data"))
+    repl = NamedSharding(mesh, P())
+    sharded = jax.jit(
+        run,
+        in_shardings=(repl, batch_sharding, batch_sharding, repl),
+        out_shardings=batch_sharding)(params, ctx, unc, rng)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               atol=1e-5, rtol=1e-5)

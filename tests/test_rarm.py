@@ -125,6 +125,51 @@ def test_sample_cfg_changes_output():
     assert not np.array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_staged_window_sampling_matches_full():
+    """Growing-window decode (window_chunk < seq_len) must produce
+    bit-identical tokens to full-cache decode: positions past `pos` are
+    masked either way, so bounding the cache read to a window that covers
+    pos is a pure traffic optimization."""
+    model, params = _init()
+    ctx = jnp.asarray(np.random.default_rng(6).standard_normal((2, 3, 12)),
+                      dtype=jnp.float32)
+    full = sample_tokens(model, params, ctx, jax.random.PRNGKey(2),
+                         top_k=10, window_chunk=TINY.seq_len)
+    staged = sample_tokens(model, params, ctx, jax.random.PRNGKey(2),
+                           top_k=10, window_chunk=3)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(staged))
+    # and with CFG
+    full_c = sample_tokens(model, params, ctx, jax.random.PRNGKey(3),
+                           top_k=10, guidance_scale=2.0,
+                           window_chunk=TINY.seq_len)
+    staged_c = sample_tokens(model, params, ctx, jax.random.PRNGKey(3),
+                             top_k=10, guidance_scale=2.0, window_chunk=3)
+    np.testing.assert_array_equal(np.asarray(full_c), np.asarray(staged_c))
+
+
+def test_windowed_decode_step_matches_full_cache():
+    """decode_step with a static window covering pos equals the
+    unwindowed read."""
+    model, params = _init()
+    rng = np.random.default_rng(7)
+    ctx = jnp.asarray(rng.standard_normal((2, 3, 12)), dtype=jnp.float32)
+    prefix = np.concatenate(
+        [[[TINY.sos_token], [TINY.sos_token]],
+         rng.integers(0, 38, (2, 4))], axis=1).astype(np.int32)
+    cache_a = model.apply(params, 2, ctx, method=RARM.init_cache)
+    cache_b = model.apply(params, 2, ctx, method=RARM.init_cache)
+    for pos in range(prefix.shape[1]):
+        la, cache_a = model.apply(
+            params, jnp.asarray(prefix[:, pos]), jnp.int32(pos), cache_a,
+            method=RARM.decode_step)
+        lb, cache_b = model.apply(
+            params, jnp.asarray(prefix[:, pos]), jnp.int32(pos), cache_b,
+            window=min(pos + 1, TINY.seq_len),
+            method=RARM.decode_step)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_top_k_filter():
     logits = jnp.asarray([[1.0, 5.0, 3.0, 2.0]])
     out = np.asarray(top_k_filter(logits, 2))

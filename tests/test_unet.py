@@ -271,3 +271,75 @@ def test_dense_2d_flag_matches_3d():
     finally:
         L.DENSE_2D, L.PROJ_AS_DOT = old_d, old_p
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), atol=1e-5)
+
+
+def test_shared_prefix_cfg_matches_batch_doubling():
+    """UNet with context [2B] over x [B] (shared-prefix CFG) must equal
+    the reference batch-doubling (x tiled to 2B) exactly — the prefix is
+    context-independent, so running it once is pure FLOP removal."""
+    cfg = tiny_cfg()
+    model = UNet(cfg)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.asarray([100, 700])
+    ctx_c = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 64))
+    ctx_u = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 64))
+    params = model.init(rng, x, t, ctx_c)
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params)
+
+    ctx2 = jnp.concatenate([ctx_c, ctx_u], axis=0)
+    doubled = model.apply(params, jnp.concatenate([x, x], 0),
+                          jnp.concatenate([t, t], 0), ctx2)
+    shared = model.apply(params, x, t, ctx2)
+    assert shared.shape == doubled.shape == (4, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(doubled),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_shared_prefix_cfg_no_down_attention():
+    """Shared mode must also work when the first cross-attention is the
+    middle block (attention_resolutions miss every down ds)."""
+    cfg = tiny_cfg(attention_resolutions=(64,))
+    model = UNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 16, 3))
+    t = jnp.asarray([5])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 64))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx[:1])
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params)
+    doubled = model.apply(params, jnp.concatenate([x, x], 0),
+                          jnp.concatenate([t, t], 0), ctx)
+    shared = model.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(shared), np.asarray(doubled),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ddim_cfg_mode_shared_matches_double():
+    """End-to-end: ddim_sample(cfg_mode='shared') equals 'double' through
+    the real UNet denoiser."""
+    import dataclasses as dc
+
+    from rdm_tpu.ops.schedules import DiffusionSchedule
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    cfg = tiny_cfg()
+    model = UNet(cfg)
+    x = jnp.zeros((2, 16, 16, 3))
+    t = jnp.asarray([0, 0])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 64))
+    unc = jnp.zeros((2, 4, 64))
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+    params = jax.tree.map(
+        lambda p: p + 0.01 if p.ndim == 4 else p, params)
+    schedule = DiffusionSchedule.create(timesteps=20)
+    scfg = DDIMSamplerConfig(num_steps=5, guidance_scale=2.0)
+    fn = lambda xx, tt, cc: model.apply(params, xx, tt, cc)
+    out_d, _ = ddim_sample(fn, schedule, scfg, (2, 16, 16, 3), ctx,
+                           jax.random.PRNGKey(7), uncond_context=unc)
+    out_s, _ = ddim_sample(fn, schedule,
+                           dc.replace(scfg, cfg_mode="shared"),
+                           (2, 16, 16, 3), ctx,
+                           jax.random.PRNGKey(7), uncond_context=unc)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_d),
+                               atol=1e-4, rtol=1e-4)
