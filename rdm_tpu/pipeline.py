@@ -86,6 +86,25 @@ def _load_clip_weights(clip_ckpt):
     return convert_clip(load_torch_state_dict(clip_ckpt))
 
 
+def _maybe_data_parallel(run, mesh, batch: int):
+    """Shard a `(params, batch_input, rng) -> batch_output` sampler over
+    the mesh's `data` axis (params replicated, batch sharded) — the
+    serving-side counterpart of the DP train step (SURVEY.md §2.5). A
+    plain jit when no multi-device data axis is available."""
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return run
+    ndata = mesh.shape["data"]
+    if batch % ndata:
+        raise ValueError(
+            f"batch {batch} not divisible by the data axis ({ndata})")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    return jax.jit(run, in_shardings=(repl, batch_sh, repl),
+                   out_shardings=batch_sh)
+
+
 @dataclasses.dataclass
 class _Retrieval:
     engine: RetrievalEngine
@@ -123,12 +142,14 @@ class RDMPipeline:
             config.timesteps, config.beta_schedule, config.linear_start,
             config.linear_end)
         self.retrieval = None
+        self.mesh = mesh
         if pool is not None:
             self.retrieval = _Retrieval(
                 RetrievalEngine(pool, mesh=mesh), memory)
         self.clip = CLIP(clip_config or ClipConfig.vit_b32(), dtype=dtype) \
             if clip_params is not None else None
         self.clip_params = clip_params
+        self._runners: Dict[Any, Any] = {}
         self._decode = jax.jit(lambda p, z: self.first_stage.apply(
             p, z, force_not_quantize=False, method=VQModel.decode))
 
@@ -370,14 +391,26 @@ class RDMPipeline:
 
     def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
                   guidance_scale: float, seed: int) -> np.ndarray:
-        sampler = DDIMSamplerConfig(num_steps=steps,
-                                    guidance_scale=guidance_scale,
-                                    cfg_mode="shared")
-        # reference CLIs pass unconditional_retro_guidance_label=0.0:
-        # the null context is the guidance vector scaled to norm zero
-        z = sample_with_neighbors(
-            self.model, self.params, neighbors, self.schedule, sampler,
-            jax.random.PRNGKey(seed), guidance_label=0.0)
+        # runners are cached per static config: jit caches by function
+        # identity, so rebuilding the closure every call would recompile
+        # the whole DDIM program each time under a mesh
+        key = ("ddim", steps, guidance_scale, neighbors.shape[0])
+        run = self._runners.get(key)
+        if run is None:
+            sampler = DDIMSamplerConfig(num_steps=steps,
+                                        guidance_scale=guidance_scale,
+                                        cfg_mode="shared")
+
+            # reference CLIs pass unconditional_retro_guidance_label=0.0:
+            # the null context is the guidance vector scaled to norm zero
+            def run(params, nbrs, rng):
+                return sample_with_neighbors(
+                    self.model, params, nbrs, self.schedule, sampler, rng,
+                    guidance_label=0.0)
+
+            run = _maybe_data_parallel(run, self.mesh, neighbors.shape[0])
+            self._runners[key] = run
+        z = run(self.params, neighbors, jax.random.PRNGKey(seed))
         images = self._decode(self.first_stage_params, z)
         return to_uint8(images)
 
@@ -398,12 +431,14 @@ class RARMPipeline:
         self.first_stage_params = cast_params_for_inference(
             first_stage_params, dtype)
         self.retrieval = None
+        self.mesh = mesh
         if pool is not None:
             self.retrieval = _Retrieval(
                 RetrievalEngine(pool, mesh=mesh), memory)
         self.clip = CLIP(clip_config or ClipConfig.vit_b32(), dtype=dtype) \
             if clip_params is not None else None
         self.clip_params = clip_params
+        self._runners: Dict[Any, Any] = {}
         self._decode_code = jax.jit(lambda p, idx: self.first_stage.apply(
             p, idx, method=VQModel.decode_code))
 
@@ -507,10 +542,22 @@ class RARMPipeline:
 
     def _generate(self, neighbors, top_k, temperature, guidance_scale,
                   seed, approx_top_k: bool = False) -> np.ndarray:
-        tokens = sample_tokens(
-            self.model, self.params, neighbors, jax.random.PRNGKey(seed),
-            temperature=temperature, top_k=top_k,
-            guidance_scale=guidance_scale, approx_top_k=approx_top_k)
+        # cached per static config — see RDMPipeline._run_ddim
+        key = ("ar", top_k, temperature, guidance_scale, approx_top_k,
+               neighbors.shape[0])
+        run = self._runners.get(key)
+        if run is None:
+            def run(params, nbrs, rng):
+                return sample_tokens(
+                    self.model, params, nbrs, rng,
+                    temperature=temperature, top_k=top_k,
+                    guidance_scale=guidance_scale,
+                    approx_top_k=approx_top_k)
+
+            run = _maybe_data_parallel(run, self.mesh, neighbors.shape[0])
+            self._runners[key] = run
+        tokens = run(self.params, jnp.asarray(neighbors),
+                     jax.random.PRNGKey(seed))
         side = self.config.code_side
         grid = tokens.reshape(-1, side, side)
         images = self._decode_code(self.first_stage_params, grid)

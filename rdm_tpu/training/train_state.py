@@ -51,6 +51,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     ema_decay: float = 0.9999,
     remat: bool = True,
+    remat_policy: str = "dots",
 ) -> Callable[[TrainState, jnp.ndarray, jnp.ndarray, jax.Array],
               Tuple[TrainState, dict]]:
     """Build the jitted train step.
@@ -58,6 +59,11 @@ def make_train_step(
     step(state, z[B,H,W,C], neighbors[B,n,k,D], rng) -> (state, metrics).
     `z` is the already-encoded (and scaled) latent batch — first-stage
     encoding happens in the input pipeline or a separate frozen pass.
+
+    remat_policy: "dots" keeps MXU outputs and recomputes pointwise
+    (measured best at the flagship op point); "nothing" recomputes
+    everything (min memory); "dots_no_batch" keeps only weight-stationary
+    matmul outputs.
     """
 
     def loss_fn(params, z, neighbors, rng):
@@ -66,8 +72,13 @@ def make_train_step(
                            rngs={"dropout": jax.random.fold_in(rng, 1)})
 
     if remat:
-        loss_fn = jax.checkpoint(
-            loss_fn, policy=jax.checkpoint_policies.dots_saveable)
+        policy = {
+            "dots": jax.checkpoint_policies.dots_saveable,
+            "nothing": jax.checkpoint_policies.nothing_saveable,
+            "dots_no_batch":
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        }[remat_policy]
+        loss_fn = jax.checkpoint(loss_fn, policy=policy)
 
     def train_step(state: TrainState, z, neighbors, rng):
         rng = jax.random.fold_in(rng, state.step)

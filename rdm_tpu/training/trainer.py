@@ -63,6 +63,14 @@ class TrainerConfig:
     use_tensorboard: bool = False  # tf.summary scalars under <logdir>/tb
     val_every: int = 0  # 0 => validate only at checkpoint saves
     val_batches: int = 8
+    # gradient rematerialization (reference use_checkpoint: true).
+    # Measured on v5e at the flagship batch-16 op point: no-remat 86.3
+    # samples/s vs dots_saveable 82 (nothing_saveable 71.9,
+    # dots_no_batch 64.9) — activations fit in HBM there, so remat only
+    # costs recompute. Default False; set True for larger batches/models
+    # (batch 32 OOMs even with remat).
+    remat: bool = False
+    remat_policy: str = "dots"
 
 
 class RDMTrainer:
@@ -95,7 +103,8 @@ class RDMTrainer:
             lr, warm_up_steps=trainer.warm_up_steps)
         self.step_fn = make_train_step(
             self.model, self.tx, self.schedule, mesh=mesh,
-            ema_decay=trainer.ema_decay)
+            ema_decay=trainer.ema_decay, remat=trainer.remat,
+            remat_policy=trainer.remat_policy)
         self.first_stage = VQModel(first_stage_config, dtype=jnp.bfloat16)
         self.first_stage_params = first_stage_params
         # LDM trains on the PRE-quantization latent (VQModelInterface.encode)
@@ -181,10 +190,13 @@ class RDMTrainer:
             lambda: self._save(state, {}, wait=True))
         t0 = time.time()
         seen = 0
+        # host-side step counter: reading int(state.step) every iteration
+        # would force a device sync per step and serialize host batch prep
+        # against device compute (async dispatch lets the host run ahead)
+        step = int(state.step)
         try:
-            while int(state.step) < max_steps:
+            while step < max_steps:
                 for batch in loader:
-                    step = int(state.step)
                     if step >= max_steps:
                         break
                     z, nns = self.prepare_batch(batch)
@@ -202,6 +214,7 @@ class RDMTrainer:
                     if (self.tcfg.image_log_every
                             and step % self.tcfg.image_log_every == 0):
                         self._log_images(state, batch, step)
+                    step += 1
         except BaseException:
             print("exception — saving checkpoint before exit")
             self._save(state, {}, wait=True)
@@ -338,10 +351,12 @@ class RARMTrainer:
         max_steps = max_steps or self.tcfg.max_steps
         rng = jax.random.PRNGKey(self.tcfg.seed + 1)
         t0 = time.time()
+        # host-side step counter — see the RDM fit(): a per-step
+        # int(state.step) read would sync the device every iteration
+        step = int(state.step)
         try:
-            while int(state.step) < max_steps:
+            while step < max_steps:
                 for batch in loader:
-                    step = int(state.step)
                     if step >= max_steps:
                         break
                     z_idx, nns = self.prepare_batch(batch)
@@ -364,6 +379,7 @@ class RARMTrainer:
                     if (self.tcfg.image_log_every
                             and step % self.tcfg.image_log_every == 0):
                         self._log_images(state, batch, step)
+                    step += 1
         except BaseException:
             self.ckpt.save(int(state.step), jax.device_get(state))
             self.ckpt.wait()

@@ -33,6 +33,11 @@ def main():
     p.add_argument("--remat", action="store_true", default=True)
     p.add_argument("--no-remat", dest="remat", action="store_false")
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--policy", type=str, default="dots",
+                   choices=["dots", "nothing", "dots_no_batch"])
+    p.add_argument("--pipelined", action="store_true",
+                   help="sync once at the end (steady-state trainer "
+                        "shape) instead of per step")
     opt = p.parse_args()
 
     from rdm_tpu.models.rdm import RDM, RDMConfig
@@ -61,7 +66,8 @@ def main():
         cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
     tx = make_optimizer(1e-4, warm_up_steps=100)
     state = init_train_state(params, tx)
-    step = make_train_step(model, tx, schedule, remat=opt.remat)
+    step = make_train_step(model, tx, schedule, remat=opt.remat,
+                           remat_policy=opt.policy)
 
     z = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 3))
     nns = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 4, 512))
@@ -74,9 +80,17 @@ def main():
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()
-    for _ in range(opt.iters):
-        state, metrics = step(state, z, nns, key)
-        np.asarray(metrics["loss"])  # forced sync per step
+    if opt.pipelined:
+        # steady-state trainer shape: async dispatch runs ahead (the train
+        # loop keeps a host-side step counter, no per-step sync); one sync
+        # at the end amortizes the dispatch latency across all iters
+        for _ in range(opt.iters):
+            state, metrics = step(state, z, nns, key)
+        np.asarray(metrics["loss"])
+    else:
+        for _ in range(opt.iters):
+            state, metrics = step(state, z, nns, key)
+            np.asarray(metrics["loss"])  # forced sync per step
     dt = (time.perf_counter() - t0) / opt.iters
     print(json.dumps({
         "metric": "rdm_train_samples_per_sec_per_chip",
@@ -85,6 +99,7 @@ def main():
         "step_ms": round(dt * 1e3, 2),
         "batch": B,
         "remat": opt.remat,
+        "pipelined": opt.pipelined,
     }))
 
 

@@ -50,6 +50,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--unconditional", action="store_true",
                    help="sample the CFG null branch (zero-vector context)")
     p.add_argument("--use_weights", action="store_true")
+    p.add_argument("--data_parallel", type=int, default=0, metavar="N",
+                   help="shard the sampling batch over N devices "
+                        "(data axis of a (data, db) mesh); batch_size "
+                        "must be divisible by N")
     p.add_argument("--random_init", action="store_true",
                    help="random weights (no checkpoint) — smoke testing")
     opt = p.parse_args()
@@ -73,9 +77,13 @@ def main() -> None:
     os.makedirs(opt.savepath, exist_ok=True)
     from rdm_tpu.pipeline import RDMPipeline
 
+    mesh = None
+    if opt.data_parallel > 1:
+        from rdm_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(data=opt.data_parallel)
     pipe = RDMPipeline.from_model_dir(
         opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
-        clip_ckpt=opt.clip_ckpt, random_init=opt.random_init)
+        clip_ckpt=opt.clip_ckpt, random_init=opt.random_init, mesh=mesh)
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
     qids = None

@@ -218,3 +218,47 @@ def test_rdm_pipeline_with_sharded_database(model_dirs):
     b = single.search(jnp.asarray(q), k=3)
     np.testing.assert_array_equal(np.asarray(a["nns"]),
                                   np.asarray(b["nns"]))
+
+
+def test_rdm_pipeline_data_parallel_sampling(model_dirs):
+    """mesh with data>1: the DDIM batch shards over the data axis and
+    must reproduce the single-device pipeline's samples exactly."""
+    from rdm_tpu.parallel.mesh import make_mesh
+    from rdm_tpu.pipeline import RDMPipeline
+
+    rdm_dir, _, db, mem = model_dirs
+    single = RDMPipeline.from_model_dir(rdm_dir, database=db,
+                                        nn_memory=mem, random_init=True)
+    mesh = make_mesh(data=4, db=2)
+    dp = RDMPipeline.from_model_dir(rdm_dir, database=db, nn_memory=mem,
+                                    random_init=True, mesh=mesh)
+    q = np.random.default_rng(5).standard_normal((4, 24)).astype(
+        np.float32)
+    a = single.sample_with_query(q, steps=3, seed=1,
+                                 only_query=True)["query_samples"]
+    b = dp.sample_with_query(q, steps=3, seed=1,
+                             only_query=True)["query_samples"]
+    np.testing.assert_array_equal(a, b)
+    # indivisible batch -> clear error
+    q3 = q[:3]
+    with pytest.raises(ValueError, match="not divisible"):
+        dp.sample_with_query(q3, steps=3, seed=1, only_query=True)
+
+
+def test_rarm_pipeline_data_parallel_sampling(model_dirs):
+    from rdm_tpu.parallel.mesh import make_mesh
+    from rdm_tpu.pipeline import RARMPipeline
+
+    _, rarm_dir, db, mem = model_dirs
+    single = RARMPipeline.from_model_dir(rarm_dir, database=db,
+                                         nn_memory=mem, random_init=True)
+    mesh = make_mesh(data=8, db=1)
+    dp = RARMPipeline.from_model_dir(rarm_dir, database=db, nn_memory=mem,
+                                     random_init=True, mesh=mesh)
+    q = np.random.default_rng(6).standard_normal((8, 24)).astype(
+        np.float32)
+    a = single.sample_with_query(q, top_k=8, seed=2,
+                                 only_query=True)["query_samples"]
+    b = dp.sample_with_query(q, top_k=8, seed=2,
+                             only_query=True)["query_samples"]
+    np.testing.assert_array_equal(a, b)
