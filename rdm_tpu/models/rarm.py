@@ -35,6 +35,13 @@ from rdm_tpu.ops.attention import dot_product_attention
 
 Dtype = Any
 
+# decode-loop experiment flag (env RARM_FUSED_QKV=1): issue q/k/v as one
+# fused [inner, 3*inner] dot per self-attention in decode_step.
+# Measured no-go on v5e — see _Attention.project_qkv_fused.
+import os as _os
+
+FUSED_QKV = _os.environ.get("RARM_FUSED_QKV", "0") == "1"
+
 
 @dataclasses.dataclass(frozen=True)
 class RARMConfig:
@@ -94,6 +101,24 @@ class _Attention(nn.Module):
     def project_kv(self, ctx):
         return self._split(self.to_k(ctx)), self._split(self.to_v(ctx))
 
+    def project_qkv_fused(self, x):
+        """q/k/v in ONE [inner, 3*inner] matmul over the shared input.
+
+        MEASURED NO-GO on v5e (decode matrix, 2026-08): 35.9 vs 46.4
+        img/s at B=16 (59.6 vs 75.2 at B=64) — XLA does NOT hoist the
+        loop-invariant weight concat out of the decode scan, so every
+        step re-streams 3x[768,768] per layer just to concatenate it.
+        Kept behind RARM_FUSED_QKV=1 for hardware where LICM applies.
+        Returns (q, k, v) split [B, S, H, D]."""
+        w = jnp.concatenate(
+            [self.to_q.variables["params"]["kernel"],
+             self.to_k.variables["params"]["kernel"],
+             self.to_v.variables["params"]["kernel"]],
+            axis=1).astype(self.dtype)
+        qkv = x @ w
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return self._split(q), self._split(k), self._split(v)
+
     def attend_cached(self, x, k_cache, v_cache, pos):
         """Single-position query against a static-shape cache.
 
@@ -101,6 +126,10 @@ class _Attention(nn.Module):
         positions > pos are masked out.
         """
         q = self._split(self.to_q(x))  # [B, 1, H, D]
+        return self.attend_cached_q(q, k_cache, v_cache, pos)
+
+    def attend_cached_q(self, q, k_cache, v_cache, pos):
+        """attend_cached with the query already projected+split."""
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_cache,
                             preferred_element_type=jnp.float32)
         scores = scores * (self.head_dim ** -0.5)
@@ -223,16 +252,19 @@ class RARM(nn.Module):
         s_ctx = cache.cross_k[0].shape[1]
         for d, block in enumerate(self.blocks):
             h = block.norm1(x)
-            q_in = h
-            k_new = block.attn1._split(block.attn1.to_k(h))  # [B,1,H,D]
-            v_new = block.attn1._split(block.attn1.to_v(h))
+            if FUSED_QKV:
+                q_new, k_new, v_new = block.attn1.project_qkv_fused(h)
+            else:
+                q_new = block.attn1._split(block.attn1.to_q(h))
+                k_new = block.attn1._split(block.attn1.to_k(h))  # [B,1,H,D]
+                v_new = block.attn1._split(block.attn1.to_v(h))
             sk[d] = jax.lax.dynamic_update_slice_in_dim(sk[d], k_new, pos,
                                                         axis=1)
             sv[d] = jax.lax.dynamic_update_slice_in_dim(sv[d], v_new, pos,
                                                         axis=1)
             k_view = sk[d] if window is None else sk[d][:, :window]
             v_view = sv[d] if window is None else sv[d][:, :window]
-            x = x + block.attn1.attend_cached(q_in, k_view, v_view, pos)
+            x = x + block.attn1.attend_cached_q(q_new, k_view, v_view, pos)
             h = block.norm2(x)
             x = x + block.attn2.attend_cached(
                 h, cache.cross_k[d], cache.cross_v[d],
