@@ -443,3 +443,170 @@ def sample_tokens(
         outs.append(toks)
     tokens = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     return jnp.transpose(tokens, (1, 0))  # [B, steps]
+
+
+def use_fused_decode_default() -> bool:
+    """True when the Pallas decode kernels are the right default: on a
+    real TPU (Mosaic kernels; interpret mode would crawl on CPU).
+    Measured v5e gains over the XLA scan: 46.4->52.3 img/s b16,
+    28.4->42.0 CFG b16, 75.2->102.2 b64. RARM_PALLAS_DECODE=0 forces
+    the XLA path."""
+    if _os.environ.get("RARM_PALLAS_DECODE", "1") == "0":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+def extract_decode_weights(params, config: RARMConfig, dtype=jnp.bfloat16):
+    """Per-layer weight dicts for the fused Pallas decode kernel
+    (rdm_tpu.ops.decode_kernel) — q/k/v kernels pre-concatenated, norms
+    and biases reshaped to [1, n] rows, everything in the compute dtype
+    except norm params (f32 stats parity with LayerNormF32)."""
+    p = params["params"] if "params" in params else params
+
+    def ff_half(ff):
+        return ff["proj_in"]["kernel"].shape[1] // 2
+
+    layers = []
+    for d in range(config.depth):
+        blk = p[f"block_{d}"]
+
+        def ln(name):
+            n = blk[name]["LayerNorm_0"]
+            return (n["scale"].reshape(1, -1).astype(jnp.float32),
+                    n["bias"].reshape(1, -1).astype(jnp.float32))
+
+        n1s, n1b = ln("norm1")
+        n2s, n2b = ln("norm2")
+        n3s, n3b = ln("norm3")
+        a1, a2, ff = blk["attn1"], blk["attn2"], blk["ff"]
+        layers.append(dict(
+            n1s=n1s, n1b=n1b,
+            wqkv=jnp.concatenate(
+                [a1["to_q"]["kernel"], a1["to_k"]["kernel"],
+                 a1["to_v"]["kernel"]], axis=1).astype(dtype),
+            wo=a1["to_out"]["kernel"].astype(dtype),
+            bo=a1["to_out"]["bias"].reshape(1, -1).astype(jnp.float32),
+            n2s=n2s, n2b=n2b,
+            wq2=a2["to_q"]["kernel"].astype(dtype),
+            wo2=a2["to_out"]["kernel"].astype(dtype),
+            bo2=a2["to_out"]["bias"].reshape(1, -1).astype(jnp.float32),
+            n3s=n3s, n3b=n3b,
+            # GEGLU proj_in split into (value, gate) halves so the FF
+            # kernel can block columns in matched pairs
+            wff_a=ff["proj_in"]["kernel"][:, :ff_half(ff)].astype(dtype),
+            wff_g=ff["proj_in"]["kernel"][:, ff_half(ff):].astype(dtype),
+            bff_a=ff["proj_in"]["bias"][:ff_half(ff)]
+            .reshape(1, -1).astype(jnp.float32),
+            bff_g=ff["proj_in"]["bias"][ff_half(ff):]
+            .reshape(1, -1).astype(jnp.float32),
+            wff2=ff["proj_out"]["kernel"].astype(dtype),
+            bff2=ff["proj_out"]["bias"].reshape(1, -1).astype(jnp.float32),
+        ))
+    return layers
+
+
+def sample_tokens_fused(
+    model: RARM,
+    params,
+    neighbors: jnp.ndarray,
+    rng: jax.Array,
+    *,
+    steps: Optional[int] = None,
+    temperature: float = 1.0,
+    top_k: int = 256,
+    guidance_scale: float = 1.0,
+    approx_top_k: bool = False,
+    window_chunk: int = 64,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """sample_tokens through the fused Pallas decode-step kernels
+    (rdm_tpu.ops.decode_kernel.decode_layer): four batched kernels per
+    layer per step instead of ~40 XLA ops. Same growing-window staging
+    and sampling semantics; numerics differ from sample_tokens only by
+    bf16 reduction order. interpret=True runs the kernels in interpreter
+    mode (CPU-testable). KV caches are time-major [T, B, C] here."""
+    from rdm_tpu.ops.decode_kernel import (decode_layer,
+                                           head_segment_matrices)
+
+    cfg = model.config
+    dtype = model.dtype
+    steps = steps or cfg.seq_len
+    if top_k:
+        top_k = min(top_k, cfg.out_vocab)
+    b = neighbors.shape[0]
+    use_cfg = guidance_scale != 1.0
+    ctx = neighbors
+    if use_cfg:
+        ctx = jnp.concatenate([neighbors, jnp.zeros_like(neighbors)],
+                              axis=0)
+    ctx = ctx.astype(dtype)
+    bb = ctx.shape[0]
+    c = cfg.inner_dim
+    t = cfg.seq_len
+    seg, segt = head_segment_matrices(cfg.heads, cfg.head_dim, dtype)
+
+    p = params["params"] if "params" in params else params
+    emb = p["token_emb"]["embedding"].astype(dtype)      # [vocab, C]
+    posenc = p["positional_encoding"].astype(dtype)      # [T, C]
+    head_w = p["proj_out"]["kernel"].astype(dtype)
+    head_b = p["proj_out"]["bias"].astype(dtype)
+    layers = extract_decode_weights(params, cfg, dtype)
+
+    # cross-attention K/V, once per sample call, TIME-MAJOR [S, B, C]
+    cross = []
+    for d in range(cfg.depth):
+        a2 = p[f"block_{d}"]["attn2"]
+        ck = (ctx @ a2["to_k"]["kernel"].astype(dtype))  # [B, S, C]
+        cv = (ctx @ a2["to_v"]["kernel"].astype(dtype))
+        cross.append((jnp.transpose(ck, (1, 0, 2)),
+                      jnp.transpose(cv, (1, 0, 2))))
+
+    k_caches = tuple(jnp.zeros((t, bb, c), dtype) for _ in range(cfg.depth))
+    v_caches = tuple(jnp.zeros((t, bb, c), dtype) for _ in range(cfg.depth))
+    sos = jnp.full((b,), cfg.sos_token, dtype=jnp.int32)
+
+    def make_body(window):
+        def body(carry, step):
+            token, kc, vc, rng = carry
+            tok_in = (jnp.concatenate([token, token], axis=0)
+                      if use_cfg else token)
+            x = (jnp.take(emb, tok_in, axis=0)
+                 + jax.lax.dynamic_slice_in_dim(posenc, step, 1, axis=0))
+            kc, vc = list(kc), list(vc)
+            for d in range(cfg.depth):
+                x, kn, vn = decode_layer(
+                    x, step, kc[d], vc[d], cross[d][0], cross[d][1],
+                    seg, segt, layers[d],
+                    heads=cfg.heads, head_dim=cfg.head_dim,
+                    window=window, interpret=interpret)
+                kc[d] = jax.lax.dynamic_update_slice_in_dim(
+                    kc[d], kn[None], step, axis=0)
+                vc[d] = jax.lax.dynamic_update_slice_in_dim(
+                    vc[d], vn[None], step, axis=0)
+            logits = (x @ head_w + head_b).astype(jnp.float32)
+            if use_cfg:
+                lc, lu = jnp.split(logits, 2, axis=0)
+                logits = lu + guidance_scale * (lc - lu)
+            logits = logits / temperature
+            if top_k:
+                logits = top_k_filter(logits, top_k, approx=approx_top_k)
+            rng, sub = jax.random.split(rng)
+            nxt = jax.random.categorical(sub, logits,
+                                         axis=-1).astype(jnp.int32)
+            return (nxt, tuple(kc), tuple(vc), rng), nxt
+
+        return body
+
+    carry = (sos, k_caches, v_caches, rng)
+    outs = []
+    for start in range(0, steps, window_chunk):
+        end = min(start + window_chunk, steps)
+        carry, toks = jax.lax.scan(
+            make_body(min(end, t)), carry,
+            jnp.arange(start, end, dtype=jnp.int32))
+        outs.append(toks)
+    tokens = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return jnp.transpose(tokens, (1, 0))  # [B, steps]

@@ -1,0 +1,353 @@
+"""Fused RARM decode-step TPU kernels (Pallas).
+
+Four kernels per transformer layer replace the ~40 XLA ops the decode
+step otherwise issues per layer (profiled: ~790 device ops/step at
+0.3-7 us each — the XLA decode runs ~2x above its HBM floor):
+
+  1. `_qkv_kernel`      — LN1 + fused [C, 3C] qkv projection (batched).
+  2. `_attn_kernel`     — cached causal self-attention, W-chunked grid
+     with an online-softmax accumulator (flash-style over the KV cache).
+  3. `_post_attn_kernel`— out-proj + LN2 + cross-attention + out-proj.
+  4. `_ff_kernel`       — GEGLU FF, column-blocked over the hidden dim.
+
+Design notes (shaped by Mosaic's restrictions and the 16 MB scoped-VMEM
+budget — the scoped-vmem XLA flag is unreachable in this environment):
+
+- Everything stays BATCHED: single-token attention is a GEMV per
+  (batch, head), which the MXU hates; instead scores are computed as
+  one [W*B, C] x [C, H] matmul against a 0/1 head-segment matrix SEG
+  (SEG[c, h] = 1 iff lane c belongs to head h), and probabilities are
+  expanded back per-lane with SEG^T. No per-head loops, no lane-segment
+  reductions, no unsupported lane-splitting reshapes.
+- KV caches are TIME-MAJOR [T, B, C]: broadcasting the query over cache
+  rows is then a leading-dim broadcast (supported), and the staged
+  window read is a leading-dim block.
+- An earlier per-batch-grid variant measured 3x SLOWER than XLA
+  (65 us/kernel call: M=1 dots serialized 12 heads x B cells on the
+  MXU); a j-inner FF column grid re-streamed 14 MB of weights per batch
+  cell. Both are structural lessons, kept here so they aren't retried.
+
+Cache protocol: kernels read the PRE-update cache window (rows
+[0, window)) with rows >= pos masked; the current position enters via
+the freshly projected k_new/v_new (numerically identical to
+update-then-attend). The caller commits k_new/v_new at row `pos`.
+
+Reference semantics: transformer.py:241-268 / attention.py:199-272
+(re-designed: the reference re-forwards the full prefix per token).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e9
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs err 1.5e-7 — below
+    f32 round-off for the gelu use). Mosaic has no erf primitive."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _layer_norm(x, scale, bias, eps=1e-5):
+    """f32-stat LayerNorm matching models.layers._RawLayerNorm; x [B, C]."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    mean2 = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (x - mean.astype(x.dtype)) * inv.astype(x.dtype)
+    y = y * scale.astype(x.dtype)
+    return y + bias.astype(x.dtype)
+
+
+def _dot(a, w):
+    return jax.lax.dot_general(
+        a, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def head_segment_matrices(heads: int, head_dim: int, dtype=jnp.bfloat16
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SEG [C, H] (0/1: lane -> its head) and SEG^T [H, C]."""
+    c = heads * head_dim
+    seg = np.zeros((c, heads), np.float32)
+    for h in range(heads):
+        seg[h * head_dim:(h + 1) * head_dim, h] = 1.0
+    return jnp.asarray(seg, dtype), jnp.asarray(seg.T, dtype)
+
+
+# ---------------------------------------------------------------- kernels
+
+def _qkv_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref,
+                q_ref, kn_ref, vn_ref):
+    x = x_ref[...]                      # [B, C]
+    c = x.shape[-1]
+    hh = _layer_norm(x, n1s_ref[...], n1b_ref[...])
+    qkv = _dot(hh, wqkv_ref[...])       # [B, 3C] f32
+    q_ref[...] = qkv[:, :c].astype(x.dtype)
+    kn_ref[...] = qkv[:, c:2 * c].astype(x.dtype)
+    vn_ref[...] = qkv[:, 2 * c:].astype(x.dtype)
+
+
+def _attn_kernel(
+    pos_ref, q_ref, kn_ref, vn_ref, kwin_ref, vwin_ref, seg_ref, segt_ref,
+    o_ref, m_acc, den_acc, pv_acc,
+    *, wc: int, n_chunks: int, scale: float,
+):
+    """Online-softmax cached attention over W-chunks (grid = (n_chunks,)).
+
+    q/kn/vn [B, C]; kwin/vwin chunk [Wc, B, C] (time-major); SEG tricks
+    keep every op batched. Scratches carry the running max / denom /
+    weighted-V across chunks; the last chunk folds in the current
+    position (k_new/v_new) and writes the normalized output."""
+    wi = pl.program_id(0)
+    pos = pos_ref[0, 0]
+    q = q_ref[...]                      # [B, C] bf16
+    b, c = q.shape
+    h = seg_ref.shape[1]
+
+    @pl.when(wi == 0)
+    def _():
+        m_acc[...] = jnp.full_like(m_acc[...], _NEG_INF)
+        den_acc[...] = jnp.zeros_like(den_acc[...])
+        pv_acc[...] = jnp.zeros_like(pv_acc[...])
+
+    kchunk = kwin_ref[...]              # [Wc, B, C]
+    vchunk = vwin_ref[...]
+    q_b = jax.lax.broadcast_in_dim(q, (wc, b, c), (1, 2))
+    prod = (q_b * kchunk).reshape(wc * b, c)
+    s = (_dot(prod, seg_ref[...]).reshape(wc, b, h)
+         * jnp.float32(scale))          # [Wc, B, H] f32
+    absw = (jax.lax.broadcasted_iota(jnp.int32, (wc, b, h), 0)
+            + wi * wc)
+    s = jnp.where(absw < pos, s, _NEG_INF)
+
+    m_old = m_acc[...]                  # [B, H]
+    m_new = jnp.maximum(m_old, jnp.max(s, axis=0))
+    corr = jnp.exp(m_old - m_new)       # [B, H]
+    p = jnp.exp(s - jax.lax.broadcast_in_dim(m_new, (wc, b, h), (1, 2)))
+    den_acc[...] = den_acc[...] * corr + jnp.sum(p, axis=0)
+    corr_full = _dot(corr.astype(seg_ref.dtype), segt_ref[...])  # [B, C]
+    p_full = _dot(p.reshape(wc * b, h).astype(segt_ref.dtype),
+                  segt_ref[...]).reshape(wc, b, c)
+    pv = jnp.sum((p_full.astype(vchunk.dtype) * vchunk)
+                 .astype(jnp.float32), axis=0)                   # [B, C]
+    pv_acc[...] = pv_acc[...] * corr_full + pv
+    m_acc[...] = m_new
+
+    @pl.when(wi == n_chunks - 1)
+    def _():
+        # fold in the current position from k_new/v_new, then normalize
+        kn = kn_ref[...]
+        vn = vn_ref[...]
+        s_n = (_dot((q * kn).astype(q.dtype), seg_ref[...])
+               * jnp.float32(scale))    # [B, H]
+        m_f = jnp.maximum(m_acc[...], s_n)
+        corr2 = jnp.exp(m_acc[...] - m_f)
+        p_n = jnp.exp(s_n - m_f)
+        den_f = den_acc[...] * corr2 + p_n
+        corr2_full = _dot(corr2.astype(seg_ref.dtype), segt_ref[...])
+        pn_full = _dot(p_n.astype(seg_ref.dtype), segt_ref[...])
+        pv_f = (pv_acc[...] * corr2_full
+                + pn_full * vn.astype(jnp.float32))
+        den_full = _dot(den_f.astype(seg_ref.dtype), segt_ref[...])
+        o_ref[...] = (pv_f / den_full).astype(o_ref.dtype)
+
+
+def _post_attn_kernel(
+    x_ref, attn_ref, ck_ref, cv_ref, seg_ref, segt_ref,
+    wo_ref, bo_ref, n2s_ref, n2b_ref, wq2_ref, wo2_ref, bo2_ref,
+    xo_ref, *, scale: float,
+):
+    """attn out-proj + residual, then LN2 + batched cross-attention
+    (context is tiny: S_ctx rows, time-major [S, B, C]) + out-proj."""
+    x = x_ref[...]                      # [B, C]
+    b, c = x.shape
+    h = seg_ref.shape[1]
+    x = x + (_dot(attn_ref[...], wo_ref[...])
+             + bo_ref[...]).astype(x.dtype)
+    h2 = _layer_norm(x, n2s_ref[...], n2b_ref[...])
+    q2 = _dot(h2, wq2_ref[...]).astype(x.dtype)
+    ck = ck_ref[...]                    # [S, B, C]
+    cv = cv_ref[...]
+    s_ctx = ck.shape[0]
+    q_b = jax.lax.broadcast_in_dim(q2, (s_ctx, b, c), (1, 2))
+    s = (_dot((q_b * ck).reshape(s_ctx * b, c), seg_ref[...])
+         .reshape(s_ctx, b, h) * jnp.float32(scale))
+    m = jnp.max(s, axis=0)
+    p = jnp.exp(s - jax.lax.broadcast_in_dim(m, (s_ctx, b, h), (1, 2)))
+    den = jnp.sum(p, axis=0)
+    p_full = _dot(p.reshape(s_ctx * b, h).astype(segt_ref.dtype),
+                  segt_ref[...]).reshape(s_ctx, b, c)
+    pv = jnp.sum((p_full.astype(cv.dtype) * cv).astype(jnp.float32),
+                 axis=0)
+    den_full = _dot(den.astype(seg_ref.dtype), segt_ref[...])
+    attn2 = (pv / den_full).astype(x.dtype)
+    xo_ref[...] = x + (_dot(attn2, wo2_ref[...])
+                       + bo2_ref[...]).astype(x.dtype)
+
+
+def _ff_kernel(
+    x_ref, n3s_ref, n3b_ref, wa_ref, wg_ref, ba_ref, bg_ref,
+    w2_ref, b2_ref, xo_ref, acc_ref, *, n_col_blocks: int,
+):
+    """GEGLU FF, column-blocked (grid = (n_col_blocks,), rows batched):
+    block j computes f_j = a_j * gelu(gate_j) for ALL batch rows and
+    accumulates f_j @ W2[rows_j] into an f32 scratch; the final block
+    adds bias + residual."""
+    j = pl.program_id(0)
+    x = x_ref[...]                      # [B, C]
+    h3 = _layer_norm(x, n3s_ref[...], n3b_ref[...])
+    a = _dot(h3, wa_ref[...]) + ba_ref[...]       # [B, F/J] f32
+    gate = _dot(h3, wg_ref[...]) + bg_ref[...]
+    # exact-erf gelu(gate) = 0.5 * gate * (1 + erf(gate / sqrt(2)))
+    f = (a * (0.5 * gate
+              * (1.0 + _erf(gate * jnp.float32(0.7071067811865476))))
+         ).astype(x.dtype)
+    part = _dot(f, w2_ref[...])                   # [B, C] f32
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(j == n_col_blocks - 1)
+    def _():
+        xo_ref[...] = x + (acc_ref[...] + b2_ref[...]).astype(x.dtype)
+
+
+# ---------------------------------------------------------------- wrapper
+
+def _vmem_full(shape):
+    nd = len(shape)
+    return pl.BlockSpec(shape, lambda *a: (0,) * nd,
+                        memory_space=pltpu.VMEM)
+
+
+def decode_layer(
+    x: jnp.ndarray,
+    pos: jnp.ndarray,
+    k_cache: jnp.ndarray,
+    v_cache: jnp.ndarray,
+    cross_k: jnp.ndarray,
+    cross_v: jnp.ndarray,
+    seg: jnp.ndarray,
+    segt: jnp.ndarray,
+    w: Dict[str, jnp.ndarray],
+    *,
+    heads: int,
+    head_dim: int,
+    window: int,
+    interpret: bool = False,
+):
+    """Run one fused decode layer.
+
+    x: [B, C]; pos: scalar int32; k/v_cache: TIME-MAJOR [T, B, C] (only
+    rows [0, window) are read); cross_k/v: [S_ctx, B, C]; seg/segt from
+    head_segment_matrices; w: per-layer dict from
+    rarm.extract_decode_weights. Returns (x_out, k_new, v_new) — the
+    caller commits k_new/v_new into the caches at row `pos` (axis 0).
+    """
+    b, c = x.shape
+    s_ctx = cross_k.shape[0]
+    scale = float(head_dim) ** -0.5
+    out_bc = jax.ShapeDtypeStruct((b, c), x.dtype)
+
+    # chunk the cache window so (Wc, B, C) blocks stay within VMEM
+    wc = max(8, min(64, 1024 // b))
+    while window % wc:
+        wc //= 2
+    n_chunks = window // wc
+
+    q, kn, vn = pl.pallas_call(
+        _qkv_kernel,
+        out_shape=(out_bc, out_bc, out_bc),
+        interpret=interpret,
+    )(x, w["n1s"], w["n1b"], w["wqkv"])
+
+    attn = pl.pallas_call(
+        functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
+                          scale=scale),
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),      # pos
+            _vmem_full((b, c)), _vmem_full((b, c)), _vmem_full((b, c)),
+            pl.BlockSpec((wc, b, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # k window chunk
+            pl.BlockSpec((wc, b, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),      # v window chunk
+            _vmem_full(seg.shape), _vmem_full(segt.shape),
+        ],
+        out_specs=_vmem_full((b, c)),
+        out_shape=out_bc,
+        scratch_shapes=[
+            pltpu.VMEM((b, heads), jnp.float32),
+            pltpu.VMEM((b, heads), jnp.float32),
+            pltpu.VMEM((b, c), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * window * c,
+            bytes_accessed=2 * b * window * c * 2,
+            transcendentals=b * window * heads),
+        interpret=interpret,
+    )(pos.reshape((1, 1)).astype(jnp.int32), q, kn, vn,
+      k_cache, v_cache, seg, segt)
+
+    x_mid = pl.pallas_call(
+        functools.partial(_post_attn_kernel, scale=scale),
+        out_shape=out_bc,
+        interpret=interpret,
+    )(x, attn, cross_k, cross_v, seg, segt,
+      w["wo"], w["bo"], w["n2s"], w["n2b"], w["wq2"], w["wo2"], w["bo2"])
+
+    ff = w["wff_a"].shape[1]
+    n_col = 4
+    while ff % n_col:
+        n_col //= 2
+    fcol = ff // n_col
+    col_in = pl.BlockSpec((c, fcol), lambda j: (0, j),
+                          memory_space=pltpu.VMEM)
+    col_bias = pl.BlockSpec((1, fcol), lambda j: (0, j),
+                            memory_space=pltpu.VMEM)
+    col_out = pl.BlockSpec((fcol, c), lambda j: (j, 0),
+                           memory_space=pltpu.VMEM)
+    xo = pl.pallas_call(
+        functools.partial(_ff_kernel, n_col_blocks=n_col),
+        grid=(n_col,),
+        in_specs=[
+            _vmem_full((b, c)),
+            _vmem_full(w["n3s"].shape), _vmem_full(w["n3b"].shape),
+            col_in, col_in, col_bias, col_bias,
+            col_out, _vmem_full(w["bff2"].shape),
+        ],
+        out_specs=_vmem_full((b, c)),
+        out_shape=out_bc,
+        scratch_shapes=[pltpu.VMEM((b, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * c * 3 * ff,
+            bytes_accessed=int(2 * (w["wff_a"].size + w["wff_g"].size
+                                    + w["wff2"].size)),
+            transcendentals=b * ff),
+        interpret=interpret,
+    )(x_mid, w["n3s"], w["n3b"], w["wff_a"], w["wff_g"],
+      w["bff_a"], w["bff_g"], w["wff2"], w["bff2"])
+
+    return xo, kn, vn

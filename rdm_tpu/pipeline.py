@@ -547,8 +547,18 @@ class RARMPipeline:
                neighbors.shape[0])
         run = self._runners.get(key)
         if run is None:
+            from rdm_tpu.models.rarm import (sample_tokens_fused,
+                                             use_fused_decode_default)
+
+            # fused Pallas decode kernels on TPU (single-device: the
+            # custom calls aren't partitionable under a sharded batch)
+            fused = (use_fused_decode_default()
+                     and (self.mesh is None
+                          or self.mesh.shape.get("data", 1) <= 1))
+            sampler = sample_tokens_fused if fused else sample_tokens
+
             def run(params, nbrs, rng):
-                return sample_tokens(
+                return sampler(
                     self.model, params, nbrs, rng,
                     temperature=temperature, top_k=top_k,
                     guidance_scale=guidance_scale,

@@ -37,7 +37,9 @@ def main():
                    help="approx_max_k top-k threshold (skips the full sort)")
     opt = p.parse_args()
 
-    from rdm_tpu.models.rarm import RARM, RARMConfig, sample_tokens
+    from rdm_tpu.models.rarm import (RARM, RARMConfig, sample_tokens,
+                                     sample_tokens_fused,
+                                     use_fused_decode_default)
     from rdm_tpu.pipeline import cast_params_for_inference
 
     cfg = RARMConfig.imagenet_dogs()
@@ -59,9 +61,12 @@ def main():
                    dtype=np.float32))
     guidance = 2.0 if opt.cfg else 1.0
 
-    fn = jax.jit(lambda p, n, r: sample_tokens(
+    sampler = (sample_tokens_fused if use_fused_decode_default()
+               else sample_tokens)
+    fn = jax.jit(lambda p, n, r: sampler(
         model, p, n, r, guidance_scale=guidance,
         approx_top_k=opt.approx_top_k))
+    print(f"decode path: {sampler.__name__}", flush=True)
     print("compiling decode loop...", flush=True)
     t0 = time.perf_counter()
     np.asarray(fn(params, neighbors, jax.random.PRNGKey(1)))

@@ -196,3 +196,27 @@ def test_simple_and_token_sequence_transformers():
     p2 = tst.init(jax.random.PRNGKey(1), toks)
     out2 = tst.apply(p2, toks)
     assert out2.shape == (2, 3, 16)
+
+
+def test_fused_pallas_decode_matches_sample_tokens():
+    """sample_tokens_fused (Pallas decode kernels, interpret mode on
+    CPU) must reproduce sample_tokens token-for-token in f32 — the
+    kernels restate LN/qkv/cached-attention/GEGLU with batched SEG-matmul
+    attention, so parity here guards the whole restatement."""
+    from rdm_tpu.models.rarm import sample_tokens_fused
+
+    model, params = _init()
+    ctx = jnp.asarray(np.random.default_rng(8).standard_normal((2, 3, 12)),
+                      dtype=jnp.float32)
+    ref = sample_tokens(model, params, ctx, jax.random.PRNGKey(5),
+                        top_k=10)
+    fused = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(5),
+                                top_k=10, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(fused))
+    # CFG + staged windows
+    ref_c = sample_tokens(model, params, ctx, jax.random.PRNGKey(6),
+                          top_k=10, guidance_scale=2.0, window_chunk=3)
+    fus_c = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(6),
+                                top_k=10, guidance_scale=2.0,
+                                window_chunk=3, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref_c), np.asarray(fus_c))
