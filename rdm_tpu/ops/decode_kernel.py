@@ -1,14 +1,15 @@
 """Fused RARM decode-step TPU kernels (Pallas).
 
-Four kernels per transformer layer replace the ~40 XLA ops the decode
+Two kernels per transformer layer replace the ~40 XLA ops the decode
 step otherwise issues per layer (profiled: ~790 device ops/step at
 0.3-7 us each — the XLA decode runs ~2x above its HBM floor):
 
-  1. `_qkv_kernel`      — LN1 + fused [C, 3C] qkv projection (batched).
-  2. `_attn_kernel`     — cached causal self-attention, W-chunked grid
-     with an online-softmax accumulator (flash-style over the KV cache).
-  3. `_post_attn_kernel`— out-proj + LN2 + cross-attention + out-proj.
-  4. `_ff_kernel`       — GEGLU FF, column-blocked over the hidden dim.
+  1. `_attn_kernel`    — LN1 + fused [C, 3C] qkv projection + cached
+     causal self-attention on a W-chunked grid with an online-softmax
+     accumulator (flash-style over the KV cache).
+  2. `_post_ff_kernel` — attn out-proj + LN2 + cross-attention +
+     out-proj (first column block) + GEGLU FF column-blocked over the
+     hidden dim.
 
 Design notes (shaped by Mosaic's restrictions and the 16 MB scoped-VMEM
 budget — the scoped-vmem XLA flag is unreachable in this environment):
@@ -93,40 +94,43 @@ def head_segment_matrices(heads: int, head_dim: int, dtype=jnp.bfloat16
 
 # ---------------------------------------------------------------- kernels
 
-def _qkv_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref,
-                q_ref, kn_ref, vn_ref):
-    x = x_ref[...]                      # [B, C]
-    c = x.shape[-1]
-    hh = _layer_norm(x, n1s_ref[...], n1b_ref[...])
-    qkv = _dot(hh, wqkv_ref[...])       # [B, 3C] f32
-    q_ref[...] = qkv[:, :c].astype(x.dtype)
-    kn_ref[...] = qkv[:, c:2 * c].astype(x.dtype)
-    vn_ref[...] = qkv[:, 2 * c:].astype(x.dtype)
-
-
 def _attn_kernel(
-    pos_ref, q_ref, kn_ref, vn_ref, kwin_ref, vwin_ref, seg_ref, segt_ref,
-    o_ref, m_acc, den_acc, pv_acc,
+    pos_ref, x_ref, kwin_ref, vwin_ref, seg_ref, segt_ref,
+    n1s_ref, n1b_ref, wqkv_ref,
+    o_ref, kn_out, vn_out, q_acc, kn_acc, vn_acc, m_acc, den_acc, pv_acc,
     *, wc: int, n_chunks: int, scale: float,
 ):
-    """Online-softmax cached attention over W-chunks (grid = (n_chunks,)).
+    """LN1 + fused qkv + online-softmax cached attention over W-chunks
+    (grid = (n_chunks,)).
 
-    q/kn/vn [B, C]; kwin/vwin chunk [Wc, B, C] (time-major); SEG tricks
-    keep every op batched. Scratches carry the running max / denom /
-    weighted-V across chunks; the last chunk folds in the current
-    position (k_new/v_new) and writes the normalized output."""
+    x [B, C]; kwin/vwin chunk [Wc, B, C] (time-major); SEG tricks keep
+    every op batched. The first chunk projects q/k_new/v_new into
+    scratches (and emits k_new/v_new for the cache commit); scratches
+    carry the running max / denom / weighted-V across chunks; the last
+    chunk folds in the current position and writes the normalized
+    output."""
     wi = pl.program_id(0)
     pos = pos_ref[0, 0]
-    q = q_ref[...]                      # [B, C] bf16
-    b, c = q.shape
-    h = seg_ref.shape[1]
+    b, c = x_ref.shape
 
     @pl.when(wi == 0)
     def _():
+        x = x_ref[...]
+        hh = _layer_norm(x, n1s_ref[...], n1b_ref[...])
+        qkv = _dot(hh, wqkv_ref[...])   # [B, 3C] f32
+        q_acc[...] = qkv[:, :c].astype(x.dtype)
+        kn = qkv[:, c:2 * c].astype(x.dtype)
+        vn = qkv[:, 2 * c:].astype(x.dtype)
+        kn_acc[...] = kn
+        vn_acc[...] = vn
+        kn_out[...] = kn
+        vn_out[...] = vn
         m_acc[...] = jnp.full_like(m_acc[...], _NEG_INF)
         den_acc[...] = jnp.zeros_like(den_acc[...])
         pv_acc[...] = jnp.zeros_like(pv_acc[...])
 
+    q = q_acc[...]                      # [B, C] bf16
+    h = seg_ref.shape[1]
     kchunk = kwin_ref[...]              # [Wc, B, C]
     vchunk = vwin_ref[...]
     q_b = jax.lax.broadcast_in_dim(q, (wc, b, c), (1, 2))
@@ -153,8 +157,8 @@ def _attn_kernel(
     @pl.when(wi == n_chunks - 1)
     def _():
         # fold in the current position from k_new/v_new, then normalize
-        kn = kn_ref[...]
-        vn = vn_ref[...]
+        kn = kn_acc[...]
+        vn = vn_acc[...]
         s_n = (_dot((q * kn).astype(q.dtype), seg_ref[...])
                * jnp.float32(scale))    # [B, H]
         m_f = jnp.maximum(m_acc[...], s_n)
@@ -169,49 +173,52 @@ def _attn_kernel(
         o_ref[...] = (pv_f / den_full).astype(o_ref.dtype)
 
 
-def _post_attn_kernel(
+def _post_ff_kernel(
     x_ref, attn_ref, ck_ref, cv_ref, seg_ref, segt_ref,
     wo_ref, bo_ref, n2s_ref, n2b_ref, wq2_ref, wo2_ref, bo2_ref,
-    xo_ref, *, scale: float,
+    n3s_ref, n3b_ref, wa_ref, wg_ref, ba_ref, bg_ref, w2_ref, b2_ref,
+    xo_ref, xmid_acc, acc_ref, *, n_col_blocks: int, scale: float,
 ):
-    """attn out-proj + residual, then LN2 + batched cross-attention
-    (context is tiny: S_ctx rows, time-major [S, B, C]) + out-proj."""
-    x = x_ref[...]                      # [B, C]
-    b, c = x.shape
-    h = seg_ref.shape[1]
-    x = x + (_dot(attn_ref[...], wo_ref[...])
-             + bo_ref[...]).astype(x.dtype)
-    h2 = _layer_norm(x, n2s_ref[...], n2b_ref[...])
-    q2 = _dot(h2, wq2_ref[...]).astype(x.dtype)
-    ck = ck_ref[...]                    # [S, B, C]
-    cv = cv_ref[...]
-    s_ctx = ck.shape[0]
-    q_b = jax.lax.broadcast_in_dim(q2, (s_ctx, b, c), (1, 2))
-    s = (_dot((q_b * ck).reshape(s_ctx * b, c), seg_ref[...])
-         .reshape(s_ctx, b, h) * jnp.float32(scale))
-    m = jnp.max(s, axis=0)
-    p = jnp.exp(s - jax.lax.broadcast_in_dim(m, (s_ctx, b, h), (1, 2)))
-    den = jnp.sum(p, axis=0)
-    p_full = _dot(p.reshape(s_ctx * b, h).astype(segt_ref.dtype),
-                  segt_ref[...]).reshape(s_ctx, b, c)
-    pv = jnp.sum((p_full.astype(cv.dtype) * cv).astype(jnp.float32),
-                 axis=0)
-    den_full = _dot(den.astype(seg_ref.dtype), segt_ref[...])
-    attn2 = (pv / den_full).astype(x.dtype)
-    xo_ref[...] = x + (_dot(attn2, wo2_ref[...])
-                       + bo2_ref[...]).astype(x.dtype)
+    """Post-attention half + GEGLU FF in one kernel
+    (grid = (n_col_blocks,), rows batched).
 
-
-def _ff_kernel(
-    x_ref, n3s_ref, n3b_ref, wa_ref, wg_ref, ba_ref, bg_ref,
-    w2_ref, b2_ref, xo_ref, acc_ref, *, n_col_blocks: int,
-):
-    """GEGLU FF, column-blocked (grid = (n_col_blocks,), rows batched):
-    block j computes f_j = a_j * gelu(gate_j) for ALL batch rows and
-    accumulates f_j @ W2[rows_j] into an f32 scratch; the final block
-    adds bias + residual."""
+    Block j == 0 additionally runs: attn out-proj + residual, LN2 +
+    batched cross-attention (tiny time-major [S, B, C] context, SEG
+    matmuls) + out-proj + residual — into the x_mid scratch. Every
+    block then computes its GEGLU column slice f_j = a_j * gelu(gate_j)
+    and accumulates f_j @ W2[rows_j] into an f32 scratch; the final
+    block adds bias + residual."""
     j = pl.program_id(0)
-    x = x_ref[...]                      # [B, C]
+
+    @pl.when(j == 0)
+    def _():
+        x = x_ref[...]                  # [B, C]
+        b, c = x.shape
+        h = seg_ref.shape[1]
+        x = x + (_dot(attn_ref[...], wo_ref[...])
+                 + bo_ref[...]).astype(x.dtype)
+        h2 = _layer_norm(x, n2s_ref[...], n2b_ref[...])
+        q2 = _dot(h2, wq2_ref[...]).astype(x.dtype)
+        ck = ck_ref[...]                # [S, B, C]
+        cv = cv_ref[...]
+        s_ctx = ck.shape[0]
+        q_b = jax.lax.broadcast_in_dim(q2, (s_ctx, b, c), (1, 2))
+        s = (_dot((q_b * ck).reshape(s_ctx * b, c), seg_ref[...])
+             .reshape(s_ctx, b, h) * jnp.float32(scale))
+        m = jnp.max(s, axis=0)
+        p = jnp.exp(s - jax.lax.broadcast_in_dim(m, (s_ctx, b, h),
+                                                 (1, 2)))
+        den = jnp.sum(p, axis=0)
+        p_full = _dot(p.reshape(s_ctx * b, h).astype(segt_ref.dtype),
+                      segt_ref[...]).reshape(s_ctx, b, c)
+        pv = jnp.sum((p_full.astype(cv.dtype) * cv).astype(jnp.float32),
+                     axis=0)
+        den_full = _dot(den.astype(seg_ref.dtype), segt_ref[...])
+        attn2 = (pv / den_full).astype(x.dtype)
+        xmid_acc[...] = x + (_dot(attn2, wo2_ref[...])
+                             + bo2_ref[...]).astype(x.dtype)
+
+    x = xmid_acc[...]                   # [B, C]
     h3 = _layer_norm(x, n3s_ref[...], n3b_ref[...])
     a = _dot(h3, wa_ref[...]) + ba_ref[...]       # [B, F/J] f32
     gate = _dot(h3, wg_ref[...]) + bg_ref[...]
@@ -277,46 +284,39 @@ def decode_layer(
         wc //= 2
     n_chunks = window // wc
 
-    q, kn, vn = pl.pallas_call(
-        _qkv_kernel,
-        out_shape=(out_bc, out_bc, out_bc),
-        interpret=interpret,
-    )(x, w["n1s"], w["n1b"], w["wqkv"])
-
-    attn = pl.pallas_call(
+    attn, kn, vn = pl.pallas_call(
         functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
                           scale=scale),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # pos
-            _vmem_full((b, c)), _vmem_full((b, c)), _vmem_full((b, c)),
+            _vmem_full((b, c)),                         # x
             pl.BlockSpec((wc, b, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),      # k window chunk
             pl.BlockSpec((wc, b, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),      # v window chunk
             _vmem_full(seg.shape), _vmem_full(segt.shape),
+            _vmem_full(w["n1s"].shape), _vmem_full(w["n1b"].shape),
+            _vmem_full(w["wqkv"].shape),
         ],
-        out_specs=_vmem_full((b, c)),
-        out_shape=out_bc,
+        out_specs=(_vmem_full((b, c)), _vmem_full((b, c)),
+                   _vmem_full((b, c))),
+        out_shape=(out_bc, out_bc, out_bc),
         scratch_shapes=[
+            pltpu.VMEM((b, c), x.dtype),     # q
+            pltpu.VMEM((b, c), x.dtype),     # k_new
+            pltpu.VMEM((b, c), x.dtype),     # v_new
             pltpu.VMEM((b, heads), jnp.float32),
             pltpu.VMEM((b, heads), jnp.float32),
             pltpu.VMEM((b, c), jnp.float32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * window * c,
-            bytes_accessed=2 * b * window * c * 2,
+            flops=4 * b * window * c + 6 * b * c * c,
+            bytes_accessed=2 * b * window * c * 2 + 2 * w["wqkv"].size,
             transcendentals=b * window * heads),
         interpret=interpret,
-    )(pos.reshape((1, 1)).astype(jnp.int32), q, kn, vn,
-      k_cache, v_cache, seg, segt)
-
-    x_mid = pl.pallas_call(
-        functools.partial(_post_attn_kernel, scale=scale),
-        out_shape=out_bc,
-        interpret=interpret,
-    )(x, attn, cross_k, cross_v, seg, segt,
-      w["wo"], w["bo"], w["n2s"], w["n2b"], w["wq2"], w["wo2"], w["bo2"])
+    )(pos.reshape((1, 1)).astype(jnp.int32), x,
+      k_cache, v_cache, seg, segt, w["n1s"], w["n1b"], w["wqkv"])
 
     ff = w["wff_a"].shape[1]
     n_col = 4
@@ -330,24 +330,35 @@ def decode_layer(
     col_out = pl.BlockSpec((fcol, c), lambda j: (j, 0),
                            memory_space=pltpu.VMEM)
     xo = pl.pallas_call(
-        functools.partial(_ff_kernel, n_col_blocks=n_col),
+        functools.partial(_post_ff_kernel, n_col_blocks=n_col,
+                          scale=scale),
         grid=(n_col,),
         in_specs=[
-            _vmem_full((b, c)),
+            _vmem_full((b, c)), _vmem_full((b, c)),     # x, attn
+            _vmem_full((s_ctx, b, c)), _vmem_full((s_ctx, b, c)),
+            _vmem_full(seg.shape), _vmem_full(segt.shape),
+            _vmem_full(w["wo"].shape), _vmem_full(w["bo"].shape),
+            _vmem_full(w["n2s"].shape), _vmem_full(w["n2b"].shape),
+            _vmem_full(w["wq2"].shape), _vmem_full(w["wo2"].shape),
+            _vmem_full(w["bo2"].shape),
             _vmem_full(w["n3s"].shape), _vmem_full(w["n3b"].shape),
             col_in, col_in, col_bias, col_bias,
             col_out, _vmem_full(w["bff2"].shape),
         ],
         out_specs=_vmem_full((b, c)),
         out_shape=out_bc,
-        scratch_shapes=[pltpu.VMEM((b, c), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((b, c), x.dtype),
+                        pltpu.VMEM((b, c), jnp.float32)],
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * c * 3 * ff,
+            flops=2 * b * c * (3 * ff + 3 * c),
             bytes_accessed=int(2 * (w["wff_a"].size + w["wff_g"].size
-                                    + w["wff2"].size)),
+                                    + w["wff2"].size + w["wo"].size
+                                    + w["wq2"].size + w["wo2"].size)),
             transcendentals=b * ff),
         interpret=interpret,
-    )(x_mid, w["n3s"], w["n3b"], w["wff_a"], w["wff_g"],
+    )(x, attn, cross_k, cross_v, seg, segt,
+      w["wo"], w["bo"], w["n2s"], w["n2b"], w["wq2"], w["wo2"], w["bo2"],
+      w["n3s"], w["n3b"], w["wff_a"], w["wff_g"],
       w["bff_a"], w["bff_g"], w["wff2"], w["bff2"])
 
     return xo, kn, vn
