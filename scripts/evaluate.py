@@ -59,6 +59,21 @@ def iter_images(directory: str, size: int, limit=None):
         files = files[:limit]
     if not files:
         raise SystemExit(f"no images found under {directory}")
+
+    # native batched decode (C++ thread pool, no GIL) for jpeg/png; the
+    # PIL path covers the rest (webp) and any decode failures
+    from rdm_tpu.data import native_loader
+
+    if native_loader.available() and not any(
+            f.endswith(".webp") for f in files):
+        chunk = 64
+        for i in range(0, len(files), chunk):
+            batch = files[i:i + chunk]
+            imgs, status = native_loader.load_batch(batch, size)
+            for j, f in enumerate(batch):
+                yield (imgs[j] if status[j] == 0
+                       else load_image(f, size=size))
+        return
     for f in files:
         yield load_image(f, size=size)
 

@@ -54,12 +54,27 @@ def main():
         done = prev.shape[0]
         print(f"resuming at row {done}")
 
+    from rdm_tpu.data import native_loader
+
+    use_native = native_loader.available()
+    if use_native:
+        print("using the native batch image loader")
+
+    def load_paths(paths):
+        if use_native:
+            imgs, status = native_loader.load_batch(paths, opt.size)
+            if status.any():  # per-file PIL fallback for failures
+                for j in np.nonzero(status)[0]:
+                    imgs[j] = load_image(paths[j], size=opt.size)
+            return imgs
+        return np.stack([load_image(p, size=opt.size) for p in paths])
+
     batch = []
     for i, rel in enumerate(rels[done:], start=done):
-        batch.append(load_image(os.path.join(opt.root, rel),
-                                size=opt.size))
+        batch.append(os.path.join(opt.root, rel))
         if len(batch) == opt.batch_size or i == len(rels) - 1:
-            emb = np.asarray(retriever(np.stack(batch)), dtype=np.float32)
+            emb = np.asarray(retriever(load_paths(batch)),
+                             dtype=np.float32)
             chunks.append(emb)
             batch = []
             if (i + 1) % (opt.batch_size * 50) == 0:
