@@ -554,3 +554,51 @@ class DataLoader:
             drop_last=self.drop_last, collate_fn=dict_collation_fn,
             worker_init_fn=_worker_init, persistent_workers=False)
         return iter(loader)
+
+
+class PrefetchLoader:
+    """Background-thread batch prefetch around any batch iterable.
+
+    The trainer dispatches device steps asynchronously (host-side step
+    counter, no per-step sync), so the host's batch assembly is the only
+    serial segment of the steady-state loop; decoding the NEXT batch on
+    a daemon thread while the current step streams overlaps the two (the
+    reference gets this from torch DataLoader worker processes,
+    main.py:168-280 — a thread is the right shape here because the
+    native image loader releases the GIL).
+
+    depth: queue capacity (batches decoded ahead). Exceptions from the
+    source iterator re-raise in the consumer.
+    """
+
+    def __init__(self, loader, depth: int = 2):
+        self.loader = loader
+        self.depth = depth
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+
+        def produce():
+            try:
+                for batch in self.loader:
+                    q.put(batch)
+                q.put(_END)
+            except BaseException as e:  # propagate to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item

@@ -122,8 +122,11 @@ def main():
             "(reference YAML) or params.filelist (one image path per "
             "line; neighbor pickles via params.nns)")
 
-    loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
-                        num_workers=opt.num_workers, seed=opt.seed)
+    from rdm_tpu.data.base import PrefetchLoader
+
+    loader = PrefetchLoader(
+        DataLoader(dataset, batch_size=batch_size, shuffle=True,
+                   num_workers=opt.num_workers, seed=opt.seed))
 
     val_loader = None
     val_ds = build_split(data_cfg.get("validation", {}) or {})

@@ -326,3 +326,29 @@ def test_nn_memory_dataset_retry(tmp_path, image_dir):
     dbg = NNMemoryDataset(builder, k_nn=2, debug=True, seed=0)
     s3 = dbg.__getitem__(10_000)
     assert s3["nn_patches"].shape[0] == 2
+
+
+def test_prefetch_loader_preserves_batches_and_errors():
+    from rdm_tpu.data.base import PrefetchLoader
+
+    batches = [{"x": np.full((2,), i)} for i in range(5)]
+    out = list(PrefetchLoader(batches, depth=2))
+    assert len(out) == 5
+    for i, b in enumerate(out):
+        np.testing.assert_array_equal(b["x"], np.full((2,), i))
+    # a second epoch works (fresh thread per __iter__)
+    assert len(list(PrefetchLoader(batches))) == 5
+
+    class Boom:
+        def __iter__(self):
+            yield {"x": np.zeros(1)}
+            raise RuntimeError("decode failed")
+
+    it = iter(PrefetchLoader(Boom()))
+    next(it)
+    try:
+        next(it)
+    except RuntimeError as e:
+        assert "decode failed" in str(e)
+    else:
+        raise AssertionError("source exception must propagate")
