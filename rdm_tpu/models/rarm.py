@@ -459,11 +459,18 @@ def use_fused_decode_default() -> bool:
         return False
 
 
-def extract_decode_weights(params, config: RARMConfig, dtype=jnp.bfloat16):
+def extract_decode_weights(params, config: RARMConfig, dtype=jnp.bfloat16,
+                           int8_weights: bool = False):
     """Per-layer weight dicts for the fused Pallas decode kernel
     (rdm_tpu.ops.decode_kernel) — q/k/v kernels pre-concatenated, norms
     and biases reshaped to [1, n] rows, everything in the compute dtype
-    except norm params (f32 stats parity with LayerNormF32)."""
+    except norm params (f32 stats parity with LayerNormF32).
+
+    int8_weights=True additionally stores every matmul weight as
+    symmetric per-output-channel int8 (`<name>` int8 + `<name>_s`
+    [1, out] bf16 scale). The kernels dequantize by scaling the DOT
+    OUTPUT (scale commutes out of the contraction), so HBM weight
+    traffic halves — decode at small batch is weight-streaming-bound."""
     p = params["params"] if "params" in params else params
 
     def ff_half(ff):
@@ -505,6 +512,16 @@ def extract_decode_weights(params, config: RARMConfig, dtype=jnp.bfloat16):
             wff2=ff["proj_out"]["kernel"].astype(dtype),
             bff2=ff["proj_out"]["bias"].reshape(1, -1).astype(jnp.float32),
         ))
+    if int8_weights:
+        for w in layers:
+            for name in ("wqkv", "wo", "wq2", "wo2", "wff_a", "wff_g",
+                         "wff2"):
+                wf = w[name].astype(jnp.float32)
+                s = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
+                s = jnp.maximum(s, 1e-12)
+                w[name] = jnp.clip(jnp.round(wf / s), -127,
+                                   127).astype(jnp.int8)
+                w[name + "_s"] = s.astype(jnp.bfloat16)
     return layers
 
 
@@ -520,6 +537,7 @@ def sample_tokens_fused(
     guidance_scale: float = 1.0,
     approx_top_k: bool = False,
     window_chunk: int = 64,
+    int8_weights: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """sample_tokens through the fused Pallas decode-step kernels
@@ -527,7 +545,11 @@ def sample_tokens_fused(
     layer per step instead of ~40 XLA ops. Same growing-window staging
     and sampling semantics; numerics differ from sample_tokens only by
     bf16 reduction order. interpret=True runs the kernels in interpreter
-    mode (CPU-testable). KV caches are time-major [T, B, C] here."""
+    mode (CPU-testable). KV caches are time-major [T, B, C] here.
+    int8_weights quantizes every matmul weight to symmetric
+    per-output-channel int8 (halved HBM weight traffic — decode at small
+    batch is weight-bound); sampling is no longer bit-comparable to the
+    bf16 path, so it stays opt-in for serving."""
     from rdm_tpu.ops.decode_kernel import (decode_layer,
                                            head_segment_matrices)
 
@@ -553,7 +575,8 @@ def sample_tokens_fused(
     posenc = p["positional_encoding"].astype(dtype)      # [T, C]
     head_w = p["proj_out"]["kernel"].astype(dtype)
     head_b = p["proj_out"]["bias"].astype(dtype)
-    layers = extract_decode_weights(params, cfg, dtype)
+    layers = extract_decode_weights(params, cfg, dtype,
+                                    int8_weights=int8_weights)
 
     # cross-attention K/V, once per sample call, TIME-MAJOR [S, B, C]
     cross = []

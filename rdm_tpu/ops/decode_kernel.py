@@ -82,6 +82,21 @@ def _dot(a, w):
         preferred_element_type=jnp.float32)
 
 
+def _wdot(a, w_ref, s_ref):
+    """a @ W with optional int8 weight dequantization.
+
+    int8 weights convert to the activation dtype in-register and the
+    per-output-channel scale multiplies the f32 DOT OUTPUT (the scale
+    commutes out of the contraction) — HBM streams half the bytes."""
+    w = w_ref[...]
+    if w.dtype == jnp.int8:
+        w = w.astype(a.dtype)
+    out = _dot(a, w)
+    if s_ref is not None:
+        out = out * s_ref[...].astype(jnp.float32)
+    return out
+
+
 def head_segment_matrices(heads: int, head_dim: int, dtype=jnp.bfloat16
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """SEG [C, H] (0/1: lane -> its head) and SEG^T [H, C]."""
@@ -96,9 +111,8 @@ def head_segment_matrices(heads: int, head_dim: int, dtype=jnp.bfloat16
 
 def _attn_kernel(
     pos_ref, x_ref, kwin_ref, vwin_ref, seg_ref, segt_ref,
-    n1s_ref, n1b_ref, wqkv_ref,
-    o_ref, kn_out, vn_out, q_acc, kn_acc, vn_acc, m_acc, den_acc, pv_acc,
-    *, wc: int, n_chunks: int, scale: float,
+    n1s_ref, n1b_ref, wqkv_ref, *rest,
+    wc: int, n_chunks: int, scale: float, quantized: bool,
 ):
     """LN1 + fused qkv + online-softmax cached attention over W-chunks
     (grid = (n_chunks,)).
@@ -109,6 +123,12 @@ def _attn_kernel(
     carry the running max / denom / weighted-V across chunks; the last
     chunk folds in the current position and writes the normalized
     output."""
+    if quantized:
+        sqkv_ref, rest = rest[0], rest[1:]
+    else:
+        sqkv_ref = None
+    (o_ref, kn_out, vn_out, q_acc, kn_acc, vn_acc,
+     m_acc, den_acc, pv_acc) = rest
     wi = pl.program_id(0)
     pos = pos_ref[0, 0]
     b, c = x_ref.shape
@@ -117,7 +137,7 @@ def _attn_kernel(
     def _():
         x = x_ref[...]
         hh = _layer_norm(x, n1s_ref[...], n1b_ref[...])
-        qkv = _dot(hh, wqkv_ref[...])   # [B, 3C] f32
+        qkv = _wdot(hh, wqkv_ref, sqkv_ref)   # [B, 3C] f32
         q_acc[...] = qkv[:, :c].astype(x.dtype)
         kn = qkv[:, c:2 * c].astype(x.dtype)
         vn = qkv[:, 2 * c:].astype(x.dtype)
@@ -177,7 +197,7 @@ def _post_ff_kernel(
     x_ref, attn_ref, ck_ref, cv_ref, seg_ref, segt_ref,
     wo_ref, bo_ref, n2s_ref, n2b_ref, wq2_ref, wo2_ref, bo2_ref,
     n3s_ref, n3b_ref, wa_ref, wg_ref, ba_ref, bg_ref, w2_ref, b2_ref,
-    xo_ref, xmid_acc, acc_ref, *, n_col_blocks: int, scale: float,
+    *rest, n_col_blocks: int, scale: float, quantized: bool,
 ):
     """Post-attention half + GEGLU FF in one kernel
     (grid = (n_col_blocks,), rows batched).
@@ -188,6 +208,13 @@ def _post_ff_kernel(
     block then computes its GEGLU column slice f_j = a_j * gelu(gate_j)
     and accumulates f_j @ W2[rows_j] into an f32 scratch; the final
     block adds bias + residual."""
+    if quantized:
+        (swo_ref, swq2_ref, swo2_ref, swa_ref, swg_ref,
+         sw2_ref) = rest[:6]
+        rest = rest[6:]
+    else:
+        swo_ref = swq2_ref = swo2_ref = swa_ref = swg_ref = sw2_ref = None
+    xo_ref, xmid_acc, acc_ref = rest
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -195,10 +222,10 @@ def _post_ff_kernel(
         x = x_ref[...]                  # [B, C]
         b, c = x.shape
         h = seg_ref.shape[1]
-        x = x + (_dot(attn_ref[...], wo_ref[...])
+        x = x + (_wdot(attn_ref[...], wo_ref, swo_ref)
                  + bo_ref[...]).astype(x.dtype)
         h2 = _layer_norm(x, n2s_ref[...], n2b_ref[...])
-        q2 = _dot(h2, wq2_ref[...]).astype(x.dtype)
+        q2 = _wdot(h2, wq2_ref, swq2_ref).astype(x.dtype)
         ck = ck_ref[...]                # [S, B, C]
         cv = cv_ref[...]
         s_ctx = ck.shape[0]
@@ -215,18 +242,18 @@ def _post_ff_kernel(
                      axis=0)
         den_full = _dot(den.astype(seg_ref.dtype), segt_ref[...])
         attn2 = (pv / den_full).astype(x.dtype)
-        xmid_acc[...] = x + (_dot(attn2, wo2_ref[...])
+        xmid_acc[...] = x + (_wdot(attn2, wo2_ref, swo2_ref)
                              + bo2_ref[...]).astype(x.dtype)
 
     x = xmid_acc[...]                   # [B, C]
     h3 = _layer_norm(x, n3s_ref[...], n3b_ref[...])
-    a = _dot(h3, wa_ref[...]) + ba_ref[...]       # [B, F/J] f32
-    gate = _dot(h3, wg_ref[...]) + bg_ref[...]
+    a = _wdot(h3, wa_ref, swa_ref) + ba_ref[...]  # [B, F/J] f32
+    gate = _wdot(h3, wg_ref, swg_ref) + bg_ref[...]
     # exact-erf gelu(gate) = 0.5 * gate * (1 + erf(gate / sqrt(2)))
     f = (a * (0.5 * gate
               * (1.0 + _erf(gate * jnp.float32(0.7071067811865476))))
          ).astype(x.dtype)
-    part = _dot(f, w2_ref[...])                   # [B, C] f32
+    part = _wdot(f, w2_ref, sw2_ref)              # [B, C] f32
 
     @pl.when(j == 0)
     def _():
@@ -277,6 +304,7 @@ def decode_layer(
     s_ctx = cross_k.shape[0]
     scale = float(head_dim) ** -0.5
     out_bc = jax.ShapeDtypeStruct((b, c), x.dtype)
+    quantized = "wqkv_s" in w
 
     # chunk the cache window so (Wc, B, C) blocks stay within VMEM
     wc = max(8, min(64, 1024 // b))
@@ -284,9 +312,10 @@ def decode_layer(
         wc //= 2
     n_chunks = window // wc
 
+    attn_scale_in = [w["wqkv_s"]] if quantized else []
     attn, kn, vn = pl.pallas_call(
         functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
-                          scale=scale),
+                          scale=scale, quantized=quantized),
         grid=(n_chunks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),      # pos
@@ -298,7 +327,7 @@ def decode_layer(
             _vmem_full(seg.shape), _vmem_full(segt.shape),
             _vmem_full(w["n1s"].shape), _vmem_full(w["n1b"].shape),
             _vmem_full(w["wqkv"].shape),
-        ],
+        ] + [_vmem_full(a.shape) for a in attn_scale_in],
         out_specs=(_vmem_full((b, c)), _vmem_full((b, c)),
                    _vmem_full((b, c))),
         out_shape=(out_bc, out_bc, out_bc),
@@ -316,7 +345,8 @@ def decode_layer(
             transcendentals=b * window * heads),
         interpret=interpret,
     )(pos.reshape((1, 1)).astype(jnp.int32), x,
-      k_cache, v_cache, seg, segt, w["n1s"], w["n1b"], w["wqkv"])
+      k_cache, v_cache, seg, segt, w["n1s"], w["n1b"], w["wqkv"],
+      *attn_scale_in)
 
     ff = w["wff_a"].shape[1]
     n_col = 4
@@ -329,9 +359,21 @@ def decode_layer(
                             memory_space=pltpu.VMEM)
     col_out = pl.BlockSpec((fcol, c), lambda j: (j, 0),
                            memory_space=pltpu.VMEM)
+    if quantized:
+        col_scale = pl.BlockSpec((1, fcol), lambda j: (0, j),
+                                 memory_space=pltpu.VMEM)
+        ff_scale_in = [w["wo_s"], w["wq2_s"], w["wo2_s"],
+                       w["wff_a_s"], w["wff_g_s"], w["wff2_s"]]
+        ff_scale_specs = [_vmem_full(w["wo_s"].shape),
+                          _vmem_full(w["wq2_s"].shape),
+                          _vmem_full(w["wo2_s"].shape),
+                          col_scale, col_scale,
+                          _vmem_full(w["wff2_s"].shape)]
+    else:
+        ff_scale_in, ff_scale_specs = [], []
     xo = pl.pallas_call(
         functools.partial(_post_ff_kernel, n_col_blocks=n_col,
-                          scale=scale),
+                          scale=scale, quantized=quantized),
         grid=(n_col,),
         in_specs=[
             _vmem_full((b, c)), _vmem_full((b, c)),     # x, attn
@@ -344,7 +386,7 @@ def decode_layer(
             _vmem_full(w["n3s"].shape), _vmem_full(w["n3b"].shape),
             col_in, col_in, col_bias, col_bias,
             col_out, _vmem_full(w["bff2"].shape),
-        ],
+        ] + ff_scale_specs,
         out_specs=_vmem_full((b, c)),
         out_shape=out_bc,
         scratch_shapes=[pltpu.VMEM((b, c), x.dtype),
@@ -359,6 +401,6 @@ def decode_layer(
     )(x, attn, cross_k, cross_v, seg, segt,
       w["wo"], w["bo"], w["n2s"], w["n2b"], w["wq2"], w["wo2"], w["bo2"],
       w["n3s"], w["n3b"], w["wff_a"], w["wff_g"],
-      w["bff_a"], w["bff_g"], w["wff2"], w["bff2"])
+      w["bff_a"], w["bff_g"], w["wff2"], w["bff2"], *ff_scale_in)
 
     return xo, kn, vn

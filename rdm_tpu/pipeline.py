@@ -493,7 +493,7 @@ class RARMPipeline:
             temperature: float = 1.0, guidance_scale: float = 1.0,
             memsize=100, use_weights: bool = False,
             qids: Optional[np.ndarray] = None, seed: int = 0,
-            approx_top_k: bool = False
+            approx_top_k: bool = False, int8_weights: bool = False
     ) -> Dict[str, Any]:
         """sample_from_rdata equivalent (transformer.py:296-391)."""
         if self.retrieval is None:
@@ -505,7 +505,7 @@ class RARMPipeline:
         neighbors = jnp.asarray(found["embeddings"], dtype=jnp.float32)
         return {"samples_with_sampled_nns": self._generate(
             neighbors, top_k, temperature, guidance_scale, seed,
-            approx_top_k=approx_top_k)}
+            approx_top_k=approx_top_k, int8_weights=int8_weights)}
 
     def sample_with_query(self, query_embeddings: np.ndarray, *,
                           k_nn: int = 4, top_k: int = 256,
@@ -514,7 +514,8 @@ class RARMPipeline:
                           only_query: bool = False,
                           unconditional: bool = False,
                           seed: int = 0,
-                          approx_top_k: bool = False) -> Dict[str, Any]:
+                          approx_top_k: bool = False,
+                          int8_weights: bool = False) -> Dict[str, Any]:
         q = np.asarray(query_embeddings, dtype=np.float32)
         if unconditional:
             neighbors = np.zeros_like(q)[:, None]
@@ -531,7 +532,7 @@ class RARMPipeline:
                                        axis=1)
         return {"query_samples": self._generate(
             jnp.asarray(neighbors), top_k, temperature, guidance_scale,
-            seed, approx_top_k=approx_top_k)}
+            seed, approx_top_k=approx_top_k, int8_weights=int8_weights)}
 
     def embed_caption(self, caption: str, batch_size: int) -> np.ndarray:
         if self.clip is None:
@@ -541,10 +542,11 @@ class RARMPipeline:
                                           method=CLIP.encode_text))
 
     def _generate(self, neighbors, top_k, temperature, guidance_scale,
-                  seed, approx_top_k: bool = False) -> np.ndarray:
+                  seed, approx_top_k: bool = False,
+                  int8_weights: bool = False) -> np.ndarray:
         # cached per static config — see RDMPipeline._run_ddim
         key = ("ar", top_k, temperature, guidance_scale, approx_top_k,
-               neighbors.shape[0])
+               int8_weights, neighbors.shape[0])
         run = self._runners.get(key)
         if run is None:
             from rdm_tpu.models.rarm import (sample_tokens_fused,
@@ -555,14 +557,18 @@ class RARMPipeline:
             fused = (use_fused_decode_default()
                      and (self.mesh is None
                           or self.mesh.shape.get("data", 1) <= 1))
+            if int8_weights and not fused:
+                raise ValueError("int8_weights requires the fused TPU "
+                                 "decode path (single-device)")
             sampler = sample_tokens_fused if fused else sample_tokens
+            extra = {"int8_weights": True} if int8_weights else {}
 
             def run(params, nbrs, rng):
                 return sampler(
                     self.model, params, nbrs, rng,
                     temperature=temperature, top_k=top_k,
                     guidance_scale=guidance_scale,
-                    approx_top_k=approx_top_k)
+                    approx_top_k=approx_top_k, **extra)
 
             run = _maybe_data_parallel(run, self.mesh, neighbors.shape[0])
             self._runners[key] = run

@@ -35,6 +35,8 @@ def main():
                    help="guidance 2.0 (doubles the decode batch)")
     p.add_argument("--approx_top_k", action="store_true",
                    help="approx_max_k top-k threshold (skips the full sort)")
+    p.add_argument("--int8_weights", action="store_true",
+                   help="int8 weight-only serving mode (fused path only)")
     opt = p.parse_args()
 
     from rdm_tpu.models.rarm import (RARM, RARMConfig, sample_tokens,
@@ -63,9 +65,13 @@ def main():
 
     sampler = (sample_tokens_fused if use_fused_decode_default()
                else sample_tokens)
+    extra = {}
+    if opt.int8_weights:
+        assert sampler is sample_tokens_fused, "int8 needs the fused path"
+        extra["int8_weights"] = True
     fn = jax.jit(lambda p, n, r: sampler(
         model, p, n, r, guidance_scale=guidance,
-        approx_top_k=opt.approx_top_k))
+        approx_top_k=opt.approx_top_k, **extra))
     print(f"decode path: {sampler.__name__}", flush=True)
     print("compiling decode loop...", flush=True)
     t0 = time.perf_counter()

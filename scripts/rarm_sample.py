@@ -48,6 +48,10 @@ def parse_args() -> argparse.Namespace:
                         "(data axis of a (data, db) mesh); batch_size "
                         "must be divisible by N")
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--int8_weights", action="store_true",
+                   help="serving mode: symmetric per-channel int8 matmul "
+                        "weights in the fused decode (halved weight "
+                        "streaming, ~96%% greedy token agreement vs bf16)")
     p.add_argument("--approx_top_k", action="store_true",
                    help="TPU-native approx_max_k for the top-k threshold "
                         "(~0.95 recall on near-tie tail logits, skips the "
@@ -97,7 +101,8 @@ def main() -> None:
                 temperature=opt.temperature,
                 guidance_scale=opt.guidance_scale, memsize=opt.top_m,
                 use_weights=opt.use_weights, seed=seed,
-                approx_top_k=opt.approx_top_k)
+                approx_top_k=opt.approx_top_k,
+                int8_weights=opt.int8_weights)
         else:
             logs = pipe.sample_with_query(
                 query, k_nn=opt.k_nn, top_k=opt.top_k,
@@ -105,7 +110,8 @@ def main() -> None:
                 guidance_scale=opt.guidance_scale,
                 only_query=opt.only_caption,
                 unconditional=opt.unconditional, seed=seed,
-                approx_top_k=opt.approx_top_k)
+                approx_top_k=opt.approx_top_k,
+                int8_weights=opt.int8_weights)
         save_batch(logs, opt.savepath, stamp, n)
         print(f"run {n + 1}/{opt.n_runs} done")
     print("Done")
