@@ -583,22 +583,41 @@ class PrefetchLoader:
         import threading
 
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
         _END = object()
+
+        def put(item) -> bool:
+            # bounded put that notices consumer abandonment: without the
+            # stop check an early `break` in the consumer would leave the
+            # producer blocked in q.put forever, pinning the source
+            # iterator (and any DataLoader worker processes) for the
+            # process lifetime
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for batch in self.loader:
-                    q.put(batch)
-                q.put(_END)
+                    if not put(batch):
+                        return
+                put(_END)
             except BaseException as e:  # propagate to the consumer
-                q.put(e)
+                put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

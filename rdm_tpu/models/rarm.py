@@ -359,6 +359,37 @@ class TokenSequenceTransformer(nn.Module):
             cross_attend=context is not None, name="trunk")(x, context)
 
 
+def _sample_next(logits, rng, *, use_cfg, guidance_scale, temperature,
+                 top_k, approx_top_k):
+    """Shared sampling tail: CFG combine -> temperature -> top-k filter
+    -> categorical draw. Used by both the XLA-scan and fused-kernel
+    decode bodies so the semantics can't drift apart."""
+    if use_cfg:
+        lc, lu = jnp.split(logits, 2, axis=0)
+        logits = lu + guidance_scale * (lc - lu)
+    logits = logits / temperature
+    if top_k:
+        logits = top_k_filter(logits, top_k, approx=approx_top_k)
+    rng, sub = jax.random.split(rng)
+    nxt = jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32)
+    return nxt, rng
+
+
+def _run_stages(make_body, carry, steps, window_chunk, window_for):
+    """Growing-window stage driver shared by both decode paths: scan
+    `window_chunk`-step stages, each compiled with a static cache window
+    from `window_for(end)`. Returns [B, steps] tokens."""
+    outs = []
+    for start in range(0, steps, window_chunk):
+        end = min(start + window_chunk, steps)
+        carry, toks = jax.lax.scan(
+            make_body(window_for(end)), carry,
+            jnp.arange(start, end, dtype=jnp.int32))
+        outs.append(toks)
+    tokens = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    return jnp.transpose(tokens, (1, 0))
+
+
 def top_k_filter(logits: jnp.ndarray, k: int,
                  approx: bool = False) -> jnp.ndarray:
     """Keep top-k logits, set the rest to -inf (transformer.py top_k_logits
@@ -419,30 +450,18 @@ def sample_tokens(
             logits, cache = model.apply(params, tok_in, step, cache,
                                         window=window,
                                         method=RARM.decode_step)
-            if use_cfg:
-                lc, lu = jnp.split(logits, 2, axis=0)
-                logits = lu + guidance_scale * (lc - lu)
-            logits = logits / temperature
-            if top_k:
-                logits = top_k_filter(logits, top_k, approx=approx_top_k)
-            rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, logits,
-                                         axis=-1).astype(jnp.int32)
+            nxt, rng = _sample_next(
+                logits, rng, use_cfg=use_cfg,
+                guidance_scale=guidance_scale, temperature=temperature,
+                top_k=top_k, approx_top_k=approx_top_k)
             return (nxt, cache, rng), nxt
 
         return body
 
-    carry = (sos, cache, rng)
-    outs = []
-    for start in range(0, steps, window_chunk):
-        end = min(start + window_chunk, steps)
-        window = end if end < cache.self_k[0].shape[1] else None
-        carry, toks = jax.lax.scan(
-            make_body(window), carry,
-            jnp.arange(start, end, dtype=jnp.int32))
-        outs.append(toks)
-    tokens = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return jnp.transpose(tokens, (1, 0))  # [B, steps]
+    t_cache = cache.self_k[0].shape[1]
+    return _run_stages(
+        make_body, (sos, cache, rng), steps, window_chunk,
+        window_for=lambda end: end if end < t_cache else None)
 
 
 def use_fused_decode_default() -> bool:
@@ -610,26 +629,18 @@ def sample_tokens_fused(
                 vc[d] = jax.lax.dynamic_update_slice_in_dim(
                     vc[d], vn[None], step, axis=0)
             logits = (x @ head_w + head_b).astype(jnp.float32)
-            if use_cfg:
-                lc, lu = jnp.split(logits, 2, axis=0)
-                logits = lu + guidance_scale * (lc - lu)
-            logits = logits / temperature
-            if top_k:
-                logits = top_k_filter(logits, top_k, approx=approx_top_k)
-            rng, sub = jax.random.split(rng)
-            nxt = jax.random.categorical(sub, logits,
-                                         axis=-1).astype(jnp.int32)
+            nxt, rng = _sample_next(
+                logits, rng, use_cfg=use_cfg,
+                guidance_scale=guidance_scale, temperature=temperature,
+                top_k=top_k, approx_top_k=approx_top_k)
             return (nxt, tuple(kc), tuple(vc), rng), nxt
 
         return body
 
-    carry = (sos, k_caches, v_caches, rng)
-    outs = []
-    for start in range(0, steps, window_chunk):
-        end = min(start + window_chunk, steps)
-        carry, toks = jax.lax.scan(
-            make_body(min(end, t)), carry,
-            jnp.arange(start, end, dtype=jnp.int32))
-        outs.append(toks)
-    tokens = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    return jnp.transpose(tokens, (1, 0))  # [B, steps]
+    # kernel windows round up to a multiple of 8 (rows past `pos` are
+    # masked): an odd window would force the attention kernel's chunk
+    # size down to 1 — the serialized small-block shape its docstring
+    # records as a measured disaster
+    return _run_stages(
+        make_body, (sos, k_caches, v_caches, rng), steps, window_chunk,
+        window_for=lambda end: min(t, ((end + 7) // 8) * 8))

@@ -90,9 +90,11 @@ def _maybe_data_parallel(run, mesh, batch: int):
     """Shard a `(params, batch_input, rng) -> batch_output` sampler over
     the mesh's `data` axis (params replicated, batch sharded) — the
     serving-side counterpart of the DP train step (SURVEY.md §2.5). A
-    plain jit when no multi-device data axis is available."""
+    plain jit when no multi-device data axis is available: the jitted
+    closure lives in the pipeline's runner cache, so repeated calls
+    skip re-tracing the whole sampling program."""
     if mesh is None or mesh.shape.get("data", 1) <= 1:
-        return run
+        return jax.jit(run)
     ndata = mesh.shape["data"]
     if batch % ndata:
         raise ValueError(

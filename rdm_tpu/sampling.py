@@ -144,6 +144,16 @@ def ddim_sample(
         ctx2 = jnp.concatenate([ctx, uncond_context], axis=0)
         if config.cfg_mode == "shared":
             eps2 = denoise_fn(x, t, ctx2)
+            if eps2.shape[0] != 2 * x.shape[0]:
+                # e.g. a conditioning_key='concat' model drops the
+                # cross-attention context before the U-Net, so the
+                # shared-prefix contract (out batch follows the 2B
+                # context) cannot hold — fail loudly instead of
+                # silently splitting a B batch in half
+                raise ValueError(
+                    "cfg_mode='shared' needs a denoiser that returns "
+                    f"batch {2 * x.shape[0]} for a doubled context "
+                    f"(got {eps2.shape[0]}); use cfg_mode='double'")
         else:
             eps2 = denoise_fn(jnp.concatenate([x, x], axis=0),
                               jnp.concatenate([t, t], axis=0), ctx2)
@@ -244,6 +254,11 @@ def ddim_retro_sample(
         ctx2 = jnp.concatenate([ctx, uncond_context], 0)
         if config.cfg_mode == "shared":
             eps2 = denoise_fn(x, t, ctx2)
+            if eps2.shape[0] != 2 * x.shape[0]:
+                raise ValueError(
+                    "cfg_mode='shared' needs a denoiser that returns "
+                    f"batch {2 * x.shape[0]} for a doubled context "
+                    f"(got {eps2.shape[0]}); use cfg_mode='double'")
         else:
             eps2 = denoise_fn(jnp.concatenate([x, x], 0),
                               jnp.concatenate([t, t], 0), ctx2)

@@ -216,8 +216,15 @@ class RDMTrainer:
                         self._log_images(state, batch, step)
                     step += 1
         except BaseException:
+            # With async dispatch a device failure surfaces at the next
+            # metrics sync (up to log_every steps late) and `state` may
+            # hold poisoned buffers whose device_get re-raises — never
+            # let the salvage attempt mask the original traceback.
             print("exception — saving checkpoint before exit")
-            self._save(state, {}, wait=True)
+            try:
+                self._save(state, {}, wait=True)
+            except Exception as save_err:
+                print(f"checkpoint salvage failed: {save_err!r}")
             raise
         self._save(state, {}, wait=True)
         return state
@@ -381,8 +388,11 @@ class RARMTrainer:
                         self._log_images(state, batch, step)
                     step += 1
         except BaseException:
-            self.ckpt.save(int(state.step), jax.device_get(state))
-            self.ckpt.wait()
+            try:  # see the RDM fit(): don't mask the original error
+                self.ckpt.save(int(state.step), jax.device_get(state))
+                self.ckpt.wait()
+            except Exception as save_err:
+                print(f"checkpoint salvage failed: {save_err!r}")
             raise
         self.ckpt.save(int(state.step), jax.device_get(state))
         self.ckpt.wait()
