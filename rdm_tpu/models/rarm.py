@@ -619,15 +619,12 @@ def sample_tokens_fused(
                  + jax.lax.dynamic_slice_in_dim(posenc, step, 1, axis=0))
             kc, vc = list(kc), list(vc)
             for d in range(cfg.depth):
-                x, kn, vn = decode_layer(
+                # caches return with row `step` committed in-kernel
+                x, kc[d], vc[d] = decode_layer(
                     x, step, kc[d], vc[d], cross[d][0], cross[d][1],
                     seg, segt, layers[d],
                     heads=cfg.heads, head_dim=cfg.head_dim,
                     window=window, interpret=interpret)
-                kc[d] = jax.lax.dynamic_update_slice_in_dim(
-                    kc[d], kn[None], step, axis=0)
-                vc[d] = jax.lax.dynamic_update_slice_in_dim(
-                    vc[d], vn[None], step, axis=0)
             logits = (x @ head_w + head_b).astype(jnp.float32)
             nxt, rng = _sample_next(
                 logits, rng, use_cfg=use_cfg,

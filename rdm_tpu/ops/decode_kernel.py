@@ -127,10 +127,10 @@ def _attn_kernel(
         sqkv_ref, rest = rest[0], rest[1:]
     else:
         sqkv_ref = None
-    (o_ref, kn_out, vn_out, q_acc, kn_acc, vn_acc,
+    (o_ref, kc_row, vc_row, q_acc, kn_acc, vn_acc,
      m_acc, den_acc, pv_acc) = rest
     wi = pl.program_id(0)
-    pos = pos_ref[0, 0]
+    pos = pos_ref[0]
     b, c = x_ref.shape
 
     @pl.when(wi == 0)
@@ -143,8 +143,12 @@ def _attn_kernel(
         vn = qkv[:, 2 * c:].astype(x.dtype)
         kn_acc[...] = kn
         vn_acc[...] = vn
-        kn_out[...] = kn
-        vn_out[...] = vn
+        # commit the current position straight into the (aliased) cache
+        # row outputs — the caller's dynamic_update_slice pair is gone.
+        # Benign race with window prefetch: row `pos` is masked this
+        # step and only read from the NEXT pallas_call onward.
+        kc_row[0] = kn
+        vc_row[0] = vn
         m_acc[...] = jnp.full_like(m_acc[...], _NEG_INF)
         den_acc[...] = jnp.zeros_like(den_acc[...])
         pv_acc[...] = jnp.zeros_like(pv_acc[...])
@@ -297,8 +301,9 @@ def decode_layer(
     x: [B, C]; pos: scalar int32; k/v_cache: TIME-MAJOR [T, B, C] (only
     rows [0, window) are read); cross_k/v: [S_ctx, B, C]; seg/segt from
     head_segment_matrices; w: per-layer dict from
-    rarm.extract_decode_weights. Returns (x_out, k_new, v_new) — the
-    caller commits k_new/v_new into the caches at row `pos` (axis 0).
+    rarm.extract_decode_weights. Returns (x_out, k_cache, v_cache) —
+    the caches come back with row `pos` committed IN-KERNEL (aliased
+    outputs, in-place under the decode scan).
     """
     b, c = x.shape
     s_ctx = cross_k.shape[0]
@@ -313,38 +318,60 @@ def decode_layer(
     n_chunks = window // wc
 
     attn_scale_in = [w["wqkv_s"]] if quantized else []
-    attn, kn, vn = pl.pallas_call(
+
+    def sp(f):
+        # index maps receive the scalar-prefetch pos ref as trailing arg
+        return f
+
+    t_cache = k_cache.shape[0]
+    row_out = pl.BlockSpec((1, b, c), lambda i, pos: (pos[0], 0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def full_sp(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda i, pos: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    attn, k_cache, v_cache = pl.pallas_call(
         functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
                           scale=scale, quantized=quantized),
-        grid=(n_chunks,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),      # pos
-            _vmem_full((b, c)),                         # x
-            pl.BlockSpec((wc, b, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # k window chunk
-            pl.BlockSpec((wc, b, c), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),      # v window chunk
-            _vmem_full(seg.shape), _vmem_full(segt.shape),
-            _vmem_full(w["n1s"].shape), _vmem_full(w["n1b"].shape),
-            _vmem_full(w["wqkv"].shape),
-        ] + [_vmem_full(a.shape) for a in attn_scale_in],
-        out_specs=(_vmem_full((b, c)), _vmem_full((b, c)),
-                   _vmem_full((b, c))),
-        out_shape=(out_bc, out_bc, out_bc),
-        scratch_shapes=[
-            pltpu.VMEM((b, c), x.dtype),     # q
-            pltpu.VMEM((b, c), x.dtype),     # k_new
-            pltpu.VMEM((b, c), x.dtype),     # v_new
-            pltpu.VMEM((b, heads), jnp.float32),
-            pltpu.VMEM((b, heads), jnp.float32),
-            pltpu.VMEM((b, c), jnp.float32),
-        ],
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_chunks,),
+            in_specs=[
+                full_sp((b, c)),                        # x
+                pl.BlockSpec((wc, b, c), lambda i, pos: (i, 0, 0),
+                             memory_space=pltpu.VMEM),  # k window chunk
+                pl.BlockSpec((wc, b, c), lambda i, pos: (i, 0, 0),
+                             memory_space=pltpu.VMEM),  # v window chunk
+                full_sp(seg.shape), full_sp(segt.shape),
+                full_sp(w["n1s"].shape), full_sp(w["n1b"].shape),
+                full_sp(w["wqkv"].shape),
+            ] + [full_sp(a.shape) for a in attn_scale_in],
+            out_specs=(full_sp((b, c)), row_out, row_out),
+            scratch_shapes=[
+                pltpu.VMEM((b, c), x.dtype),     # q
+                pltpu.VMEM((b, c), x.dtype),     # k_new
+                pltpu.VMEM((b, c), x.dtype),     # v_new
+                pltpu.VMEM((b, heads), jnp.float32),
+                pltpu.VMEM((b, heads), jnp.float32),
+                pltpu.VMEM((b, c), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            out_bc,
+            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
+            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
+        ),
+        # operand order: (pos, x, k_cache, v_cache, ...); the caches
+        # alias their row-updated outputs (in-place under the scan)
+        input_output_aliases={2: 1, 3: 2},
         cost_estimate=pl.CostEstimate(
             flops=4 * b * window * c + 6 * b * c * c,
             bytes_accessed=2 * b * window * c * 2 + 2 * w["wqkv"].size,
             transcendentals=b * window * heads),
         interpret=interpret,
-    )(pos.reshape((1, 1)).astype(jnp.int32), x,
+    )(pos.reshape((1,)).astype(jnp.int32), x,
       k_cache, v_cache, seg, segt, w["n1s"], w["n1b"], w["wqkv"],
       *attn_scale_in)
 
@@ -403,4 +430,4 @@ def decode_layer(
       w["n3s"], w["n3b"], w["wff_a"], w["wff_g"],
       w["bff_a"], w["bff_g"], w["wff2"], w["bff2"], *ff_scale_in)
 
-    return xo, kn, vn
+    return xo, k_cache, v_cache
