@@ -143,10 +143,11 @@ def _attn_kernel(
         vn = qkv[:, 2 * c:].astype(x.dtype)
         kn_acc[...] = kn
         vn_acc[...] = vn
-        # commit the current position straight into the (aliased) cache
-        # row outputs — the caller's dynamic_update_slice pair is gone.
-        # Benign race with window prefetch: row `pos` is masked this
-        # step and only read from the NEXT pallas_call onward.
+        # commit the current position straight into the cache row
+        # outputs (aliased when inkernel_commit — see decode_layer) or
+        # emit [1, B, C] rows for a caller-side update. Benign race with
+        # window prefetch under aliasing: row `pos` is masked this step
+        # and only read from the NEXT pallas_call onward.
         kc_row[0] = kn
         vc_row[0] = vn
         m_acc[...] = jnp.full_like(m_acc[...], _NEG_INF)
@@ -318,21 +319,39 @@ def decode_layer(
     n_chunks = window // wc
 
     attn_scale_in = [w["wqkv_s"]] if quantized else []
-
-    def sp(f):
-        # index maps receive the scalar-prefetch pos ref as trailing arg
-        return f
-
     t_cache = k_cache.shape[0]
-    row_out = pl.BlockSpec((1, b, c), lambda i, pos: (pos[0], 0, 0),
-                           memory_space=pltpu.VMEM)
+
+    # The scalar-dependent row index defeats Pallas's revisited-block
+    # detection, so the (1, B, C) out block is written back EVERY grid
+    # step. Cheap at small batch/chunk counts (b16: 4 x 24 KB/layer);
+    # catastrophic at CFG b64 (32 x 196 KB/layer = 113 MB/step, measured
+    # -8%). Alias-commit in-kernel only when the redundant write-back
+    # stays under ~512 KB per layer-step (CFG b16 = 384 KB measured a
+    # win); otherwise emit the rows and update caller-side.
+    inkernel_commit = n_chunks * b * c * 2 <= 512 * 1024
+    if inkernel_commit:
+        row_out = pl.BlockSpec((1, b, c), lambda i, pos: (pos[0], 0, 0),
+                               memory_space=pltpu.VMEM)
+        row_shapes = (
+            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
+            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
+        )
+        aliases = {2: 1, 3: 2}
+    else:
+        row_out = pl.BlockSpec((1, b, c), lambda i, pos: (0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        row_shapes = (
+            jax.ShapeDtypeStruct((1, b, c), x.dtype),
+            jax.ShapeDtypeStruct((1, b, c), x.dtype),
+        )
+        aliases = {}
 
     def full_sp(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda i, pos: (0,) * nd,
                             memory_space=pltpu.VMEM)
 
-    attn, k_cache, v_cache = pl.pallas_call(
+    attn, k_out, v_out = pl.pallas_call(
         functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
                           scale=scale, quantized=quantized),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -358,14 +377,10 @@ def decode_layer(
                 pltpu.VMEM((b, c), jnp.float32),
             ],
         ),
-        out_shape=(
-            out_bc,
-            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
-            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
-        ),
-        # operand order: (pos, x, k_cache, v_cache, ...); the caches
-        # alias their row-updated outputs (in-place under the scan)
-        input_output_aliases={2: 1, 3: 2},
+        out_shape=(out_bc,) + row_shapes,
+        # operand order: (pos, x, k_cache, v_cache, ...); under
+        # inkernel_commit the caches alias their row-updated outputs
+        input_output_aliases=aliases,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * window * c + 6 * b * c * c,
             bytes_accessed=2 * b * window * c * 2 + 2 * w["wqkv"].size,
@@ -374,6 +389,13 @@ def decode_layer(
     )(pos.reshape((1,)).astype(jnp.int32), x,
       k_cache, v_cache, seg, segt, w["n1s"], w["n1b"], w["wqkv"],
       *attn_scale_in)
+    if inkernel_commit:
+        k_cache, v_cache = k_out, v_out
+    else:
+        k_cache = jax.lax.dynamic_update_slice_in_dim(
+            k_cache, k_out, pos, axis=0)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(
+            v_cache, v_out, pos, axis=0)
 
     ff = w["wff_a"].shape[1]
     n_col = 4
