@@ -234,12 +234,15 @@ int load_one(const char* path, int size, float* out) {
   Img im;
   if (!decode_file(path, &im)) return 1;
   if (im.w <= 0 || im.h <= 0) return 2;
-  // smallest-max-size: shorter side -> size (round, matching Python)
+  // smallest-max-size: shorter side -> size. Python round() is
+  // half-to-even; std::nearbyint under the default FE_TONEAREST mode
+  // matches it (std::lround is half-away-from-zero and diverged by 1px
+  // on exact .5 products, shifting the center crop vs the PIL path).
   int nh = size, nw = size;
   if (im.h != im.w) {
     double scale = static_cast<double>(size) / std::min(im.h, im.w);
-    nh = static_cast<int>(std::lround(im.h * scale));
-    nw = static_cast<int>(std::lround(im.w * scale));
+    nh = static_cast<int>(std::nearbyint(im.h * scale));
+    nw = static_cast<int>(std::nearbyint(im.w * scale));
   }
   std::vector<float> resized;
   if (nh == im.h && nw == im.w) {

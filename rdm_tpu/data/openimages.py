@@ -29,6 +29,27 @@ import numpy as np
 from rdm_tpu.data.base import center_crop, load_image, smallest_max_size
 
 
+def _per_item_rng(seed: int, index: int) -> np.random.Generator:
+    """Crop/degradation RNG derived from (seed, worker id, sample index).
+
+    A dataset-member Generator created in __init__ is inherited with
+    identical state by every forked DataLoader worker, duplicating
+    augmentation sequences across workers (round-2 advisor). Folding the
+    torch worker id and the sample index into the seed gives every item a
+    distinct stream, and the shuffled index->worker assignment varies the
+    crop across epochs.
+    """
+    wid = 0
+    try:
+        import torch.utils.data as tud
+        info = tud.get_worker_info()
+        if info is not None:
+            wid = info.id
+    except Exception:
+        pass
+    return np.random.default_rng((seed, wid, index))
+
+
 class FullOpenImagesBase:
     split = "train"
 
@@ -216,7 +237,7 @@ class SemanticOpenImagesBase(FullOpenImagesBase):
         self.root = root
         self.size = size
         self.seg_to_float = segmentation_to_float
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.random_crop = random_crop
         ann_csv = os.path.join(
             root, f"{self.split}-annotations-object-segmentation.csv")
@@ -256,7 +277,8 @@ class SemanticOpenImagesBase(FullOpenImagesBase):
             return len(self.samples)
         return super().__len__()
 
-    def _crop_pair(self, image: np.ndarray, seg: np.ndarray):
+    def _crop_pair(self, image: np.ndarray, seg: np.ndarray,
+                   rng: np.random.Generator):
         from PIL import Image as _Image
 
         image = smallest_max_size(image, self.size)
@@ -264,8 +286,8 @@ class SemanticOpenImagesBase(FullOpenImagesBase):
         seg_img = _Image.fromarray(seg.astype(np.int32), mode="I")
         seg = np.asarray(seg_img.resize((sw, sh), _Image.NEAREST))
         if self.random_crop:
-            y = int(self.rng.integers(0, max(sh - self.size, 0) + 1))
-            x = int(self.rng.integers(0, max(sw - self.size, 0) + 1))
+            y = int(rng.integers(0, max(sh - self.size, 0) + 1))
+            x = int(rng.integers(0, max(sw - self.size, 0) + 1))
             image = image[y:y + self.size, x:x + self.size]
             seg = seg[y:y + self.size, x:x + self.size]
         else:
@@ -300,7 +322,7 @@ class SemanticOpenImagesBase(FullOpenImagesBase):
             mask = mask[..., 0]
         seg = np.where(mask != 0, class_label, 0).astype(np.int32)
         if self.size is not None:
-            image, seg = self._crop_pair(image, seg)
+            image, seg = self._crop_pair(image, seg, _per_item_rng(self.seed, i))
         onehot = np.eye(self.num_classes, dtype=np.float32)[seg]
         if not self.seg_to_float:
             onehot = onehot.astype(np.int64)
@@ -340,7 +362,7 @@ class SuperresOpenImagesBase(FullOpenImagesBase):
         self.down_factor = down_factor
         self.degradation = degradation
         self.noise_level = noise_level
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
 
     def __getitem__(self, i: int):
         from PIL import Image as _Image
@@ -350,11 +372,12 @@ class SuperresOpenImagesBase(FullOpenImagesBase):
         out = super().__getitem__(i)
         hr = out["image"]  # float [-1, 1]
         h, w = hr.shape[:2]
+        rng = _per_item_rng(self.seed, i)
         if self.degradation in ("bsrgan", "bsrgan_light"):
             from rdm_tpu.data.degradation import degradation_bsr
 
             lr01 = degradation_bsr(
-                (hr + 1.0) / 2.0, sf=self.down_factor, rng=self.rng,
+                (hr + 1.0) / 2.0, sf=self.down_factor, rng=rng,
                 light=self.degradation == "bsrgan_light")
             lr = lr01 * 2.0 - 1.0
         else:
@@ -365,7 +388,7 @@ class SuperresOpenImagesBase(FullOpenImagesBase):
             lr = _resize(hr, (h // self.down_factor,
                               w // self.down_factor), method)
             if self.noise_level > 0:
-                lr = lr + self.noise_level * self.rng.standard_normal(
+                lr = lr + self.noise_level * rng.standard_normal(
                     lr.shape).astype(np.float32)
         out["LR_image"] = np.clip(lr, -1.0, 1.0).astype(np.float32)
         return out

@@ -508,39 +508,45 @@ def extract_decode_weights(params, config: RARMConfig, dtype=jnp.bfloat16,
         n2s, n2b = ln("norm2")
         n3s, n3b = ln("norm3")
         a1, a2, ff = blk["attn1"], blk["attn2"], blk["ff"]
+        # matmul kernels stay in their checkpoint dtype here; cast (or
+        # quantization) happens once below so int8 codes come from the
+        # ORIGINAL f32 values, not a bf16-rounded copy (round-2 advisor
+        # fix: casting first baked bf16 rounding error into the codes)
         layers.append(dict(
             n1s=n1s, n1b=n1b,
             wqkv=jnp.concatenate(
                 [a1["to_q"]["kernel"], a1["to_k"]["kernel"],
-                 a1["to_v"]["kernel"]], axis=1).astype(dtype),
-            wo=a1["to_out"]["kernel"].astype(dtype),
+                 a1["to_v"]["kernel"]], axis=1),
+            wo=a1["to_out"]["kernel"],
             bo=a1["to_out"]["bias"].reshape(1, -1).astype(jnp.float32),
             n2s=n2s, n2b=n2b,
-            wq2=a2["to_q"]["kernel"].astype(dtype),
-            wo2=a2["to_out"]["kernel"].astype(dtype),
+            wq2=a2["to_q"]["kernel"],
+            wo2=a2["to_out"]["kernel"],
             bo2=a2["to_out"]["bias"].reshape(1, -1).astype(jnp.float32),
             n3s=n3s, n3b=n3b,
             # GEGLU proj_in split into (value, gate) halves so the FF
             # kernel can block columns in matched pairs
-            wff_a=ff["proj_in"]["kernel"][:, :ff_half(ff)].astype(dtype),
-            wff_g=ff["proj_in"]["kernel"][:, ff_half(ff):].astype(dtype),
+            wff_a=ff["proj_in"]["kernel"][:, :ff_half(ff)],
+            wff_g=ff["proj_in"]["kernel"][:, ff_half(ff):],
             bff_a=ff["proj_in"]["bias"][:ff_half(ff)]
             .reshape(1, -1).astype(jnp.float32),
             bff_g=ff["proj_in"]["bias"][ff_half(ff):]
             .reshape(1, -1).astype(jnp.float32),
-            wff2=ff["proj_out"]["kernel"].astype(dtype),
+            wff2=ff["proj_out"]["kernel"],
             bff2=ff["proj_out"]["bias"].reshape(1, -1).astype(jnp.float32),
         ))
-    if int8_weights:
-        for w in layers:
-            for name in ("wqkv", "wo", "wq2", "wo2", "wff_a", "wff_g",
-                         "wff2"):
+    matmul_names = ("wqkv", "wo", "wq2", "wo2", "wff_a", "wff_g", "wff2")
+    for w in layers:
+        for name in matmul_names:
+            if int8_weights:
                 wf = w[name].astype(jnp.float32)
                 s = jnp.max(jnp.abs(wf), axis=0, keepdims=True) / 127.0
                 s = jnp.maximum(s, 1e-12)
                 w[name] = jnp.clip(jnp.round(wf / s), -127,
                                    127).astype(jnp.int8)
                 w[name + "_s"] = s.astype(jnp.bfloat16)
+            else:
+                w[name] = w[name].astype(dtype)
     return layers
 
 

@@ -83,7 +83,8 @@ class UNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, t, context=None, y=None, *,
-                 deterministic: bool = True, return_features: bool = False):
+                 deterministic: bool = True, return_features: bool = False,
+                 shared_cfg: Optional[bool] = None):
         """return_features=True skips the zero-init out head and returns
         the trunk features [B, H, W, model_channels] — the reference
         GITWrapper.unet_forward path (openaimodel.py:645-656), which feeds
@@ -99,14 +100,31 @@ class UNet(nn.Module):
         exactly where the context first enters; pre-divergence skip
         connections are tiled at consumption. Bit-exact math, ~8% fewer
         FLOPs per CFG step at the flagship config. Output batch follows
-        the context (2B)."""
+        the context (2B).
+
+        `shared_cfg` controls the contract explicitly (round-2 advisor):
+        None (default) auto-detects from the 2B context batch as above;
+        True asserts the caller really passed a (cond, uncond)-stacked
+        context; False opts out, so an accidental 2x-batch context raises
+        instead of silently tiling the activations."""
         cfg = self.config
         ch0 = cfg.model_channels
         time_dim = ch0 * 4
 
-        shared_cfg = (context is not None
-                      and context.shape[0] == 2 * x.shape[0]
-                      and context.shape[0] > 0)
+        ctx_doubled = (context is not None
+                       and context.shape[0] == 2 * x.shape[0]
+                       and context.shape[0] > 0)
+        if shared_cfg and not ctx_doubled:
+            raise ValueError(
+                "shared_cfg=True requires context batch == 2 * x batch "
+                f"(got context {None if context is None else context.shape}"
+                f" vs x {x.shape})")
+        if shared_cfg is False and context is not None \
+                and context.shape[0] != x.shape[0]:
+            raise ValueError(
+                "shared_cfg=False: context batch must equal x batch "
+                f"(got {context.shape[0]} vs {x.shape[0]})")
+        shared_cfg = ctx_doubled if shared_cfg is None else bool(shared_cfg)
         tiled = not shared_cfg  # flips True once the stream is doubled
 
         def tile2(a):

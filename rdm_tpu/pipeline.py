@@ -62,10 +62,17 @@ def cast_params_for_inference(params, dtype=jnp.bfloat16):
     lax.scan that cast re-reads the full fp32 weight set from HBM every
     step. Pre-cast weights make it a no-op. 1D leaves (biases, norm
     scales) stay fp32 — norms recast to fp32 internally anyway.
+
+    The whole tree is cast inside ONE jit: leaf-by-leaf .astype dispatches
+    a separate remote compile per unique shape (~0.4 s each through the
+    axon tunnel x hundreds of leaves = minutes of wall time before the
+    real compile even starts).
     """
-    return jax.tree.map(
-        lambda p: p.astype(dtype) if getattr(p, "ndim", 0) >= 2 else p,
-        params)
+    return jax.jit(
+        lambda tree: jax.tree.map(
+            lambda p: p.astype(dtype) if getattr(p, "ndim", 0) >= 2 else p,
+            tree)
+    )(params)
 
 
 def _load_clip_weights(clip_ckpt):
