@@ -25,7 +25,12 @@ understatement from ONE noisy capture). Defenses, in order:
   2. >=3 independent timed windows; the reported value is the BEST window
      (the metric is peak device capability, not tunnel luck);
   3. the JSON line self-describes: trials, spread, degraded flag, flops
-     source (measured cost-analysis vs recorded constant), compile time.
+     source (measured cost-analysis vs recorded constant), compile time;
+  4. the pipeline is AOT-lowered from ShapeDtypeStructs and run through
+     the compiled executable: tracing a jit CALL with 800+ concrete
+     remote arrays costs ~0.75 s of tunnel RPC per leaf (measured 613 s
+     round-2 "compile" wall, of which the actual XLA compile was a 14 s
+     persistent-cache hit; abstract tracing takes 8 s on this host).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -63,10 +68,11 @@ A100_MFU_EST = 0.25
 
 # --- health probe constants (recorded on this v5e via the axon tunnel) ---
 # 40x (4096x4096x4096 bf16 matmul) chained inside one jit fori_loop
-# = 5.50 TFLOP; good-state wall time measured 2026-08-17: ~0.053 s
-# (~104 TFLOP/s effective). >1.5x that means the tunnel/device window is
-# degraded and a throughput capture would understate the machine.
-PROBE_GOOD_S = float(os.environ.get("BENCH_PROBE_GOOD_S", 0.053))
+# = 5.50 TFLOP; good-state wall time measured 2026-08-17: 0.072 s
+# (~76 TFLOP/s effective incl. dispatch). >1.5x that means the
+# tunnel/device window is degraded and a throughput capture would
+# understate the machine.
+PROBE_GOOD_S = float(os.environ.get("BENCH_PROBE_GOOD_S", 0.072))
 PROBE_MAX_RATIO = 1.5
 PROBE_RETRIES = int(os.environ.get("BENCH_PROBE_RETRIES", 10))
 PROBE_RETRY_SLEEP_S = 30.0
@@ -219,10 +225,20 @@ def main():
     print(f"# health probe: {probe_times} (good={PROBE_GOOD_S}s, "
           f"healthy={healthy})", flush=True)
 
-    # warmup + compile
+    # AOT lower from abstract shapes (8 s host-side) + compile (persistent
+    # cache hit ~15 s), then warm the compiled executable once
     _c0 = time.perf_counter()
     print("compiling pipeline...", flush=True)
-    img = pipeline(params, vq_params, db_norm, q, jax.random.PRNGKey(2))
+
+    def abstract(tree):
+        return jax.tree.map(
+            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), tree)
+
+    key0 = jax.random.PRNGKey(2)
+    pipeline_exe = pipeline.lower(
+        abstract(params), abstract(vq_params), abstract(db_norm),
+        abstract(q), abstract(key0)).compile()
+    img = pipeline_exe(params, vq_params, db_norm, q, key0)
     jax.block_until_ready(img)
     compile_s = time.perf_counter() - _c0
     print(f"compile+warmup done in {compile_s:.1f}s", flush=True)
@@ -234,11 +250,12 @@ def main():
     windows = int(os.environ.get("BENCH_WINDOWS", 3))
     runs = 3
     trials = []
+    keys = [jax.random.PRNGKey(3 + j) for j in range(windows * runs)]
     for w in range(windows):
         start = time.perf_counter()
         for i in range(runs):
-            img = pipeline(params, vq_params, db_norm, q,
-                           jax.random.PRNGKey(3 + w * runs + i))
+            img = pipeline_exe(params, vq_params, db_norm, q,
+                               keys[w * runs + i])
             np.asarray(img[0, 0, 0])
         elapsed = time.perf_counter() - start
         trials.append(round(BATCH * runs / elapsed, 4))
@@ -258,13 +275,15 @@ def main():
     # steps (CFG batch doubling is inside the measured forward).
     def cost_analysis_flops():
         def unet_flops_at(x_batch, ctx_batch):
-            xc = jnp.zeros((x_batch, cfg.image_size, cfg.image_size,
-                            cfg.channels))
-            tc = jnp.zeros((x_batch,), dtype=jnp.int32)
-            cc = jnp.zeros((ctx_batch, K_NN * 1, cfg.context_dim))
+            xc = jax.ShapeDtypeStruct(
+                (x_batch, cfg.image_size, cfg.image_size, cfg.channels),
+                jnp.float32)
+            tc = jax.ShapeDtypeStruct((x_batch,), jnp.int32)
+            cc = jax.ShapeDtypeStruct(
+                (ctx_batch, K_NN * 1, cfg.context_dim), jnp.float32)
             comp = jax.jit(
                 lambda p, x, t, c: model.apply(p, x, t, c)).lower(
-                params, xc, tc, cc).compile()
+                abstract(params), xc, tc, cc).compile()
             return comp.cost_analysis()["flops"]
 
         cfg_batch = 2 * BATCH if GUIDANCE != 1.0 else BATCH
@@ -275,9 +294,7 @@ def main():
             unet_flops_at(BATCH, cfg_batch)
             if (GUIDANCE != 1.0 and CFG_MODE == "shared")
             else unet_flops_ref)
-        pipe_comp = pipeline.lower(params, vq_params, db_norm, q,
-                                   jax.random.PRNGKey(2)).compile()
-        rest_flops = pipe_comp.cost_analysis()["flops"]  # knn+decode+1 body
+        rest_flops = pipeline_exe.cost_analysis()["flops"]  # knn+decode+1 body
         flops_img = (DDIM_STEPS * unet_flops_actual + rest_flops) / BATCH
         ref_flops_img = (DDIM_STEPS * unet_flops_ref + rest_flops) / BATCH
         return flops_img, ref_flops_img
