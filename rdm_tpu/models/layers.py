@@ -17,6 +17,7 @@ Behavioral parity targets (semantics only, re-designed for NHWC/JAX):
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Optional
 
 import jax
@@ -503,12 +504,154 @@ class TransformerBlock(nn.Module):
         return x
 
 
+# Fused Pallas SpatialTransformer blocks (ops/block_kernel.py): LN1+QKV,
+# packed-lane flash attention, and out-proj+cross-attn+GEGLU run as three
+# Pallas kernels instead of conv-emitter Denses (round-2 profile: ~20 ms
+# of the 60.6 ms flagship forward at 10-45% per-op MXU efficiency).
+# Inference only — the kernels have no VJP; training keeps the standard
+# path. RDM_TPU_FUSED_BLOCK=0 reverts.
+def use_fused_spatial_block() -> bool:
+    if os.environ.get("RDM_TPU_FUSED_BLOCK", "1") == "0":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except RuntimeError:
+        return False
+
+
+class _KernParams(nn.Module):
+    """Declares nn.Dense-shaped params (kernel [in, out], optional bias)
+    without running the Dense — same names, same init, so the param tree
+    is identical to the unfused module's and checkpoints load on both
+    paths."""
+
+    in_dim: int
+    out_dim: int
+    use_bias: bool = False
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self):
+        init = (zeros_init if self.zero_init
+                else nn.initializers.lecun_normal())
+        kern = self.param("kernel", init, (self.in_dim, self.out_dim),
+                          jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.out_dim,),
+                           jnp.float32) if self.use_bias else None)
+        return kern, bias
+
+
+class _LNParams(nn.Module):
+    """LayerNormF32-shaped params (scale/bias under LayerNorm_0)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return _LNLeaf(self.dim, name="LayerNorm_0")()
+
+
+class _LNLeaf(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.dim,),
+                           jnp.float32),
+                self.param("bias", nn.initializers.zeros, (self.dim,),
+                           jnp.float32))
+
+
+class FusedTransformerBlock(nn.Module):
+    """TransformerBlock with the compute routed through the fused Pallas
+    kernels (rdm_tpu.ops.block_kernel). Param tree identical to
+    TransformerBlock; inference only (no dropout, no VJP)."""
+
+    heads: int
+    head_dim: int
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x, context, *, deterministic: bool = True):
+        from rdm_tpu.ops.block_kernel import (fused_transformer_block,
+                                              pack_head_lanes)
+
+        assert deterministic, "fused block path is inference-only"
+        b, s, c = x.shape
+        inner = self.heads * self.head_dim
+        assert inner == c, (inner, c)
+        ctx_dim = context.shape[-1]
+        cp = (c + 127) // 128 * 128
+        dt = self.dtype
+
+        class _Attn(nn.Module):
+            ctx: int
+
+            @nn.compact
+            def __call__(self):
+                wq, _ = _KernParams(c, inner, name="to_q")()
+                wk, _ = _KernParams(self.ctx, inner, name="to_k")()
+                wv, _ = _KernParams(self.ctx, inner, name="to_v")()
+                wo, bo = _KernParams(inner, c, use_bias=True,
+                                     name="to_out")()
+                return wq, wk, wv, wo, bo
+
+        class _FF(nn.Module):
+            @nn.compact
+            def __call__(self):
+                ffd = c * 4
+                w1, b1 = _KernParams(c, 2 * ffd, use_bias=True,
+                                     name="proj_in")()
+                w2, b2 = _KernParams(ffd, c, use_bias=True,
+                                     name="proj_out")()
+                return w1, b1, w2, b2
+
+        n1s, n1b = _LNParams(c, name="norm1")()
+        wq, wk, wv, wo, bo = _Attn(c, name="attn1")()
+        n2s, n2b = _LNParams(c, name="norm2")()
+        wq2, wk2, wv2, wo2, bo2 = _Attn(ctx_dim, name="attn2")()
+        n3s, n3b = _LNParams(c, name="norm3")()
+        w1, b1, w2, b2 = _FF(name="ff")()
+
+        row = lambda p: p.reshape(1, -1).astype(jnp.float32)
+        ffd = c * 4
+        weights = dict(
+            n1s=row(n1s), n1b=row(n1b),
+            wqkv=jnp.concatenate(
+                [pack_head_lanes(wq.astype(dt), self.heads, self.head_dim,
+                                 cp),
+                 pack_head_lanes(wk.astype(dt), self.heads, self.head_dim,
+                                 cp),
+                 pack_head_lanes(wv.astype(dt), self.heads, self.head_dim,
+                                 cp)], axis=1),
+            # pad-head lanes of the packed attention output hit zero rows
+            wo=jnp.pad(wo.astype(dt), ((0, cp - c), (0, 0))),
+            bo=row(bo),
+            n2s=row(n2s), n2b=row(n2b),
+            wq2=wq2.astype(dt), wo2=wo2.astype(dt), bo2=row(bo2),
+            n3s=row(n3s), n3b=row(n3b),
+            wa=w1[:, :ffd].astype(dt), wg=w1[:, ffd:].astype(dt),
+            ba=row(b1[:ffd]), bg=row(b1[ffd:]),
+            w2=w2.astype(dt), b2=row(b2),
+        )
+        # context k/v projections are [B, S_ctx, C]-tiny — XLA keeps them
+        ctx = context.astype(dt)
+        ck = jnp.einsum("bsd,dc->bsc", ctx, wk2.astype(dt))
+        cv = jnp.einsum("bsd,dc->bsc", ctx, wv2.astype(dt))
+        return fused_transformer_block(
+            x.astype(dt), ck, cv, weights, heads=self.heads,
+            head_dim=self.head_dim, interpret=self.interpret)
+
+
 class SpatialTransformer(nn.Module):
     """The U-Net cross-attention insert (hot inner module of RDM).
 
     GroupNorm → 1x1 conv to inner_dim → flatten to tokens → `depth`
     transformer blocks cross-attending to `context` → zero-init 1x1 conv →
-    residual.
+    residual. On TPU at inference the blocks run as fused Pallas kernels
+    (see FusedTransformerBlock); both paths declare identical param trees.
     """
 
     heads: int
@@ -533,12 +676,22 @@ class SpatialTransformer(nn.Module):
                             name="proj_out")
         x = proj_in(x)
         x = x.reshape(b, h * w, inner)
+        fused = (context is not None and deterministic
+                 and 128 % self.head_dim == 0
+                 and use_fused_spatial_block())
         for i in range(self.depth):
-            x = TransformerBlock(
-                heads=self.heads, head_dim=self.head_dim,
-                has_cross=context is not None, dropout=self.dropout,
-                dtype=self.dtype, name=f"block_{i}",
-            )(x, context, deterministic=deterministic)
+            if fused:
+                x = FusedTransformerBlock(
+                    heads=self.heads, head_dim=self.head_dim,
+                    dropout=self.dropout, dtype=self.dtype,
+                    name=f"block_{i}",
+                )(x, context, deterministic=deterministic)
+            else:
+                x = TransformerBlock(
+                    heads=self.heads, head_dim=self.head_dim,
+                    has_cross=context is not None, dropout=self.dropout,
+                    dtype=self.dtype, name=f"block_{i}",
+                )(x, context, deterministic=deterministic)
         x = x.reshape(b, h, w, inner)
         x = proj_out(x)
         return x + x_in

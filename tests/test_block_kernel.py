@@ -1,0 +1,72 @@
+"""Parity tests for the fused SpatialTransformer block kernels
+(ops/block_kernel.py) against the standard TransformerBlock path.
+
+Runs the Pallas kernels in interpret mode on CPU; the param trees of the
+two module variants must be identical (checkpoint compatibility) and the
+outputs must match within dtype tolerance.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdm_tpu.models.layers import FusedTransformerBlock, TransformerBlock
+
+
+def _mk(heads, head_dim, ctx_dim, b, s, s_ctx, dtype, seed=0):
+    c = heads * head_dim
+    rng = jax.random.PRNGKey(seed)
+    kx, kc, kp = jax.random.split(rng, 3)
+    x = jax.random.normal(kx, (b, s, c), jnp.float32).astype(dtype)
+    ctx = jax.random.normal(kc, (b, s_ctx, ctx_dim),
+                            jnp.float32).astype(dtype)
+    ref = TransformerBlock(heads=heads, head_dim=head_dim, dtype=dtype)
+    params = ref.init(kp, x, ctx)
+    return ref, params, x, ctx
+
+
+@pytest.mark.parametrize("heads,head_dim,dtype,tol", [
+    (4, 32, jnp.float32, 2e-5),    # exact 128-lane pack
+    (6, 32, jnp.float32, 2e-5),    # ragged: Cp=256, last group 2 heads
+    (4, 32, jnp.bfloat16, 3e-2),
+    (2, 64, jnp.float32, 2e-5),    # 2 heads per lane group
+])
+def test_fused_block_parity(heads, head_dim, dtype, tol):
+    ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=2, s=16,
+                              s_ctx=4, dtype=dtype)
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  dtype=dtype, interpret=True)
+    want = ref.apply(params, x, ctx)
+    got = fused.apply(params, x, ctx)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
+
+
+def test_param_trees_identical():
+    heads, head_dim = 4, 32
+    c = heads * head_dim
+    x = jnp.zeros((2, 16, c))
+    ctx = jnp.zeros((2, 4, 64))
+    ref = TransformerBlock(heads=heads, head_dim=head_dim)
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  interpret=True)
+    p_ref = ref.init(jax.random.PRNGKey(0), x, ctx)
+    p_fused = fused.init(jax.random.PRNGKey(0), x, ctx)
+    ref_tree = jax.tree.map(lambda a: (a.shape, a.dtype), p_ref)
+    fused_tree = jax.tree.map(lambda a: (a.shape, a.dtype), p_fused)
+    assert ref_tree == fused_tree
+
+
+def test_fused_block_larger_seq():
+    # S=64 (ds=8-like whole-image tile) through the real block sizes
+    ref, params, x, ctx = _mk(4, 32, ctx_dim=32, b=3, s=64, s_ctx=4,
+                              dtype=jnp.float32, seed=1)
+    fused = FusedTransformerBlock(heads=4, head_dim=32,
+                                  dtype=jnp.float32, interpret=True)
+    want = ref.apply(params, x, ctx)
+    got = fused.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
