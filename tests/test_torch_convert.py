@@ -847,3 +847,69 @@ def test_golden_ddim_trajectory_vs_torch():
     final_tol = 1e-3 * max(1.0, float(np.abs(x.numpy()).max()))
     np.testing.assert_allclose(np.asarray(out).transpose(0, 3, 1, 2),
                                x.numpy(), atol=final_tol)
+
+
+def test_golden_ddim_to_pixels_vs_torch():
+    """Golden chain extended to PIXELS: DDIM-CFG sampling through converted
+    U-Net weights, then the sampled latent quantized through the converted
+    VQ codebook and decoded to images (the reference's sample →
+    decode_first_stage chain, ddpm.py decode path with
+    force_not_quantize=False), must match a torch loop + torch decode
+    end-to-end."""
+    from rdm_tpu.ops.schedules import DiffusionSchedule
+    from rdm_tpu.sampling import DDIMSamplerConfig, ddim_sample
+
+    torch.manual_seed(17)
+    oracle = TUNet(UNET_CFG).eval()
+    params = convert_unet(_sd(oracle), UNET_CFG, prefix="")
+    model = UNet(UNET_CFG)
+
+    # VQ first stage whose embed space matches the U-Net's 3 latent channels
+    ae_cfg = AutoencoderConfig(ch=32, ch_mult=(1, 2), num_res_blocks=1,
+                               attn_resolutions=(8,), resolution=16,
+                               z_channels=3, embed_dim=3, n_embed=16)
+    vq_oracle = TVQ(ae_cfg).eval()
+    ae_params = convert_autoencoder(_sd(vq_oracle), ae_cfg)
+    vq = VQModel(ae_cfg)
+
+    T, S, scale = 50, 5, 2.0
+    betas = np.linspace(0.0015 ** 0.5, 0.0195 ** 0.5, T) ** 2
+    acp = np.cumprod(1.0 - betas)
+    ts = np.minimum(np.arange(0, T, T // S) + 1, T - 1)
+    alphas = acp[ts]
+    alphas_prev = np.concatenate([acp[:1], acp[ts[:-1]]])
+
+    ctx = torch.randn(2, 3, 24)
+    uctx = torch.zeros(2, 3, 24)
+    x = torch.randn(2, 3, 8, 8)
+    x0_noise = x.clone()
+    with torch.no_grad():
+        for i in reversed(range(S)):
+            t = torch.full((2,), int(ts[i]), dtype=torch.long)
+            e_c = oracle(x, t, ctx)
+            e_u = oracle(x, t, uctx)
+            eps = e_u + scale * (e_c - e_u)
+            a_t, a_prev = float(alphas[i]), float(alphas_prev[i])
+            pred_x0 = (x - np.sqrt(1.0 - a_t) * eps) / np.sqrt(a_t)
+            x = np.sqrt(a_prev) * pred_x0 + np.sqrt(1.0 - a_prev) * eps
+        # torch decode: nearest-codebook quantize -> post_quant -> decoder
+        flat = x.permute(0, 2, 3, 1).reshape(-1, 3)
+        cb = vq_oracle.quantize.embedding.weight
+        d = ((flat ** 2).sum(1, keepdim=True) - 2 * flat @ cb.T
+             + (cb ** 2).sum(1)[None])
+        idx = d.argmin(1)
+        z_q = cb[idx].reshape(2, 8, 8, 3).permute(0, 3, 1, 2)
+        ref_px = vq_oracle.decoder(vq_oracle.post_quant_conv(z_q))
+
+    schedule = DiffusionSchedule.create(T, "linear", 0.0015, 0.0195)
+    cfg = DDIMSamplerConfig(num_steps=S, guidance_scale=scale)
+    denoise = lambda xt, tt, cc: model.apply(params, xt, tt, cc)
+    out, _ = ddim_sample(
+        denoise, schedule, cfg, (2, 8, 8, 3),
+        jnp.asarray(ctx.numpy()), jax.random.PRNGKey(0),
+        uncond_context=jnp.asarray(uctx.numpy()),
+        x_init=_nhwc(x0_noise))
+    px = vq.apply(ae_params, out, force_not_quantize=False,
+                  method=VQModel.decode)
+    tol = 2e-3 * max(1.0, float(ref_px.abs().max()))
+    _assert_close(ref_px, px, atol=tol)
