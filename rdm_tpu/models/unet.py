@@ -25,6 +25,7 @@ from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax.ad_checkpoint import checkpoint_name
 
 from rdm_tpu.models.layers import (
     Downsample,
@@ -160,6 +161,14 @@ class UNet(nn.Module):
                 dropout=cfg.dropout, dtype=self.dtype, name=name,
             )
 
+        # Block outputs are tagged with jax.ad_checkpoint.checkpoint_name
+        # by downsampling factor ("blk_ds{1,2,4,...}") so the train step's
+        # "save_lowres" remat policy can keep the cheap low-resolution
+        # activations and recompute only the large high-res ones
+        # (train_state.make_train_step; no-op outside jax.checkpoint).
+        def ckpt(a, d):
+            return checkpoint_name(a, f"blk_ds{d}")
+
         # ---- down path ----
         h = conv(ch0, 3, self.dtype, name="conv_in")(x)
         hs = [h]
@@ -175,6 +184,7 @@ class UNet(nn.Module):
                         h, emb, tiled = tile2(h), tile2(emb), True
                     h = attn(ch, f"down_{level}_{i}_attn")(
                         h, context, deterministic=deterministic)
+                h = ckpt(h, ds)
                 hs.append(h)
             if level != len(cfg.channel_mult) - 1:
                 if cfg.resblock_updown:
@@ -183,8 +193,9 @@ class UNet(nn.Module):
                 else:
                     h = Downsample(out_channels=ch, use_conv=cfg.conv_resample,
                                    dtype=self.dtype, name=f"down_{level}_down")(h)
-                hs.append(h)
                 ds *= 2
+                h = ckpt(h, ds)
+                hs.append(h)
 
         # ---- middle ----
         h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
@@ -192,6 +203,7 @@ class UNet(nn.Module):
             h, emb, tiled = tile2(h), tile2(emb), True
         h = attn(ch, "mid_attn")(h, context, deterministic=deterministic)
         h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
+        h = ckpt(h, ds)
 
         # ---- up path ----
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
@@ -207,6 +219,7 @@ class UNet(nn.Module):
                 if ds in cfg.attention_resolutions:
                     h = attn(ch, f"up_{level}_{i}_attn")(
                         h, context, deterministic=deterministic)
+                h = ckpt(h, ds)
                 if level and i == cfg.num_res_blocks:
                     if cfg.resblock_updown:
                         h = res(ch, f"up_{level}_up", up=True)(

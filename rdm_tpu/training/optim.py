@@ -72,10 +72,17 @@ def make_optimizer(
     grad_clip: Optional[float] = None,
     accumulate_steps: int = 1,
     schedule_name: str = "lambda_linear",
+    mu_dtype: Optional[str] = None,
 ) -> optax.GradientTransformation:
+    """mu_dtype="bfloat16" stores the Adam FIRST moment in bf16 (halving
+    its HBM: ~0.8 GB on the 395M flagship). The second moment stays f32 —
+    v's magnitude spans grad^2 scales where bf16's 8 mantissa bits inject
+    visible LR noise, while m is a smoothed gradient average that
+    tolerates them (standard large-model practice)."""
     schedule = SCHEDULES[schedule_name](base_lr,
                                         warm_up_steps=warm_up_steps)
-    tx = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay)
+    tx = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
+                     mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if accumulate_steps > 1:

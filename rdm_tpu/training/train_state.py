@@ -77,6 +77,13 @@ def make_train_step(
             "nothing": jax.checkpoint_policies.nothing_saveable,
             "dots_no_batch":
                 jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            # Resolution-selective: keep only the UNet block outputs at
+            # downsampling factor >= 2 (tagged blk_ds* in models/unet.py)
+            # and recompute the large full-resolution activations — the
+            # cheapest memory/recompute point for batches past the
+            # no-remat HBM ceiling.
+            "save_lowres": jax.checkpoint_policies.save_only_these_names(
+                "blk_ds2", "blk_ds4", "blk_ds8", "blk_ds16", "blk_ds32"),
         }[remat_policy]
         loss_fn = jax.checkpoint(loss_fn, policy=policy)
 

@@ -34,7 +34,11 @@ def main():
     p.add_argument("--no-remat", dest="remat", action="store_false")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--policy", type=str, default="dots",
-                   choices=["dots", "nothing", "dots_no_batch"])
+                   choices=["dots", "nothing", "dots_no_batch",
+                            "save_lowres"])
+    p.add_argument("--mu_dtype", type=str, default=None,
+                   choices=[None, "bfloat16"],
+                   help="Adam first-moment storage dtype")
     p.add_argument("--pipelined", action="store_true",
                    help="sync once at the end (steady-state trainer "
                         "shape) instead of per step")
@@ -64,7 +68,7 @@ def main():
 
     schedule = DiffusionSchedule.create(
         cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
-    tx = make_optimizer(1e-4, warm_up_steps=100)
+    tx = make_optimizer(1e-4, warm_up_steps=100, mu_dtype=opt.mu_dtype)
     state = init_train_state(params, tx)
     step = make_train_step(model, tx, schedule, remat=opt.remat,
                            remat_policy=opt.policy)

@@ -92,3 +92,53 @@ def test_train_step_data_parallel_matches_single():
     pb = jax.tree.leaves(sb.params)
     for a, b in zip(pa, pb):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_save_lowres_remat_and_bf16_moments():
+    """save_lowres policy (blk_ds* checkpoint_name tags in models/unet.py)
+    must reproduce the unrematted loss exactly, and mu_dtype=bfloat16 must
+    store the Adam first moment in bf16 while still descending."""
+    unet = UNetConfig(
+        in_channels=2, out_channels=2, model_channels=8, num_res_blocks=1,
+        attention_resolutions=(1, 2), channel_mult=(1, 2),
+        num_head_channels=4, context_dim=8)
+    cfg = RDMConfig(unet=unet, image_size=8, channels=2, timesteps=20,
+                    context_dim=8, k_nn=2)
+    model = RDM(cfg)
+    x = jnp.zeros((2, 8, 8, 2))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray([0, 1]),
+                        jnp.zeros((2, 2, 8)))
+    schedule = DiffusionSchedule.create(cfg.timesteps, "linear", 0.0015,
+                                        0.0195)
+    tx = make_optimizer(1e-3, warm_up_steps=2, mu_dtype="bfloat16")
+    z = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 8, 2))
+    nns = jax.random.normal(jax.random.PRNGKey(2), (4, 1, 2, 8))
+    rng = jax.random.PRNGKey(3)
+
+    results = {}
+    for name, kw in [("none", dict(remat=False)),
+                     ("save_lowres", dict(remat=True,
+                                          remat_policy="save_lowres"))]:
+        # fresh buffers per variant: the step donates its state
+        state = init_train_state(jax.tree.map(jnp.copy, params), tx)
+        step = make_train_step(model, tx, schedule, **kw)
+        state, metrics = step(state, z, nns, rng)
+        results[name] = (float(metrics["loss"]), state)
+    # identical math, remat only changes what is stored vs recomputed
+    np.testing.assert_allclose(results["none"][0],
+                               results["save_lowres"][0], rtol=1e-6)
+
+    # first moment stored in bf16
+    st = results["save_lowres"][1]
+    mu = st.opt_state[0].mu if hasattr(st.opt_state[0], "mu") \
+        else st.opt_state[1][0].mu
+    leaves = jax.tree.leaves(mu)
+    assert all(l.dtype == jnp.bfloat16 for l in leaves), \
+        {l.dtype for l in leaves}
+    losses = [results["save_lowres"][0]]
+    step = make_train_step(model, tx, schedule, remat=True,
+                           remat_policy="save_lowres")
+    for i in range(4):
+        st, metrics = step(st, z, nns, rng)
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
