@@ -575,7 +575,8 @@ def sample_tokens_fused(
     per-output-channel int8 (halved HBM weight traffic — decode at small
     batch is weight-bound); sampling is no longer bit-comparable to the
     bf16 path, so it stays opt-in for serving."""
-    from rdm_tpu.ops.decode_kernel import (decode_layer,
+    from rdm_tpu.ops.decode_kernel import (commit_rows, decode_layer,
+                                           uses_inkernel_commit,
                                            head_segment_matrices)
 
     cfg = model.config
@@ -617,6 +618,17 @@ def sample_tokens_fused(
     sos = jnp.full((b,), cfg.sos_token, dtype=jnp.int32)
 
     def make_body(window):
+        # above the in-kernel alias threshold (large batch x chunks) the
+        # rows CAN be deferred and committed for ALL layers in one
+        # aliased async-copy kernel (RARM_BATCHED_COMMIT=1) — but the
+        # extra kernel launch plus the row HBM round-trip (row written
+        # by decode_layer, read back, DMA'd into the cache) measured
+        # SLOWER than 2L caller-side dynamic_update_slices on v5e
+        # (CFG b64: 80.7 vs 86.8 img/s; block-pipelined variant 79.2),
+        # so the default stays the DUS fallback.
+        defer = (_os.environ.get("RARM_BATCHED_COMMIT", "0") == "1"
+                 and not uses_inkernel_commit(window, bb, c))
+
         def body(carry, step):
             token, kc, vc, rng = carry
             tok_in = (jnp.concatenate([token, token], axis=0)
@@ -624,13 +636,26 @@ def sample_tokens_fused(
             x = (jnp.take(emb, tok_in, axis=0)
                  + jax.lax.dynamic_slice_in_dim(posenc, step, 1, axis=0))
             kc, vc = list(kc), list(vc)
+            krows, vrows = [], []
             for d in range(cfg.depth):
-                # caches return with row `step` committed in-kernel
-                x, kc[d], vc[d] = decode_layer(
+                # caches return with row `step` committed in-kernel (or,
+                # when deferred, the raw rows for the batched commit)
+                x, ko, vo = decode_layer(
                     x, step, kc[d], vc[d], cross[d][0], cross[d][1],
                     seg, segt, layers[d],
                     heads=cfg.heads, head_dim=cfg.head_dim,
-                    window=window, interpret=interpret)
+                    window=window, defer_commit=defer,
+                    interpret=interpret)
+                if defer:
+                    krows.append(ko)
+                    vrows.append(vo)
+                else:
+                    kc[d], vc[d] = ko, vo
+            if defer:
+                updated = commit_rows(step, kc + vc, krows + vrows,
+                                      interpret=interpret)
+                kc = updated[:cfg.depth]
+                vc = updated[cfg.depth:]
             logits = (x @ head_w + head_b).astype(jnp.float32)
             nxt, rng = _sample_next(
                 logits, rng, use_cfg=use_cfg,

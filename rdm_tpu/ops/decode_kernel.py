@@ -31,7 +31,30 @@ budget — the scoped-vmem XLA flag is unreachable in this environment):
 Cache protocol: kernels read the PRE-update cache window (rows
 [0, window)) with rows >= pos masked; the current position enters via
 the freshly projected k_new/v_new (numerically identical to
-update-then-attend). The caller commits k_new/v_new at row `pos`.
+update-then-attend). Chunks entirely past `pos` are skipped outright
+(pl.when + index_map clamped to the last live chunk, so a skipped cell
+re-visits an already-resident block instead of streaming dead cache
+tail — CFG b64 79.1 -> 86.8 img/s). Row-commit is a measured matrix
+(v5e, 2026-08, CFG b64 = the regime the threshold falls back in):
+
+  - in-kernel aliased row output (block-pipelined): wins only while the
+    redundant per-cell write-back stays <= 512 KB/layer-step — the
+    scalar-dependent output index defeats Mosaic's revisit detection,
+    so every grid cell re-writes the row block (b64 CFG: 6.3 MB/
+    layer-step, measured -8%).
+  - caller-side dynamic_update_slice per layer (2L tiny DUS/step,
+    ~3.5 us dispatch each): 86.8-87.3 img/s. DEFAULT above threshold.
+  - batched cross-layer commit, block-pipelined outputs: 79.2 (the
+    single-cell grid serializes 3n block DMAs and fetches the unread
+    cache blocks too).
+  - batched cross-layer commit, ANY-space aliased outputs + overlapped
+    explicit async row DMAs (`commit_rows`, RARM_BATCHED_COMMIT=1):
+    80.7 — the extra kernel launch plus the row HBM round-trip (rows
+    written by decode_layer, read back into VMEM, DMA'd into the
+    cache) costs more than the 2L DUS dispatches it saves.
+
+So: in-kernel alias below threshold, caller DUS above; `commit_rows`
+stays as the env-gated experimental record of the no-go.
 
 Reference semantics: transformer.py:241-268 / attention.py:199-272
 (re-designed: the reference re-forwards the full prefix per token).
@@ -154,34 +177,44 @@ def _attn_kernel(
         den_acc[...] = jnp.zeros_like(den_acc[...])
         pv_acc[...] = jnp.zeros_like(pv_acc[...])
 
-    q = q_acc[...]                      # [B, C] bf16
-    h = seg_ref.shape[1]
-    kchunk = kwin_ref[...]              # [Wc, B, C]
-    vchunk = vwin_ref[...]
-    q_b = jax.lax.broadcast_in_dim(q, (wc, b, c), (1, 2))
-    prod = (q_b * kchunk).reshape(wc * b, c)
-    s = (_dot(prod, seg_ref[...]).reshape(wc, b, h)
-         * jnp.float32(scale))          # [Wc, B, H] f32
-    absw = (jax.lax.broadcasted_iota(jnp.int32, (wc, b, h), 0)
-            + wi * wc)
-    s = jnp.where(absw < pos, s, _NEG_INF)
+    # Chunks entirely past `pos` contribute nothing (every row masked):
+    # skip their compute outright. Their input index_maps are also
+    # clamped to the last live chunk (decode_layer), so a revisited
+    # block needs no fresh DMA — early stage steps stop streaming the
+    # cache tail they cannot attend to.
+    @pl.when(wi * wc < pos)
+    def _():
+        q = q_acc[...]                  # [B, C] bf16
+        h = seg_ref.shape[1]
+        kchunk = kwin_ref[...]          # [Wc, B, C]
+        vchunk = vwin_ref[...]
+        q_b = jax.lax.broadcast_in_dim(q, (wc, b, c), (1, 2))
+        prod = (q_b * kchunk).reshape(wc * b, c)
+        s = (_dot(prod, seg_ref[...]).reshape(wc, b, h)
+             * jnp.float32(scale))      # [Wc, B, H] f32
+        absw = (jax.lax.broadcasted_iota(jnp.int32, (wc, b, h), 0)
+                + wi * wc)
+        s = jnp.where(absw < pos, s, _NEG_INF)
 
-    m_old = m_acc[...]                  # [B, H]
-    m_new = jnp.maximum(m_old, jnp.max(s, axis=0))
-    corr = jnp.exp(m_old - m_new)       # [B, H]
-    p = jnp.exp(s - jax.lax.broadcast_in_dim(m_new, (wc, b, h), (1, 2)))
-    den_acc[...] = den_acc[...] * corr + jnp.sum(p, axis=0)
-    corr_full = _dot(corr.astype(seg_ref.dtype), segt_ref[...])  # [B, C]
-    p_full = _dot(p.reshape(wc * b, h).astype(segt_ref.dtype),
-                  segt_ref[...]).reshape(wc, b, c)
-    pv = jnp.sum((p_full.astype(vchunk.dtype) * vchunk)
-                 .astype(jnp.float32), axis=0)                   # [B, C]
-    pv_acc[...] = pv_acc[...] * corr_full + pv
-    m_acc[...] = m_new
+        m_old = m_acc[...]              # [B, H]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=0))
+        corr = jnp.exp(m_old - m_new)   # [B, H]
+        p = jnp.exp(s - jax.lax.broadcast_in_dim(m_new, (wc, b, h),
+                                                 (1, 2)))
+        den_acc[...] = den_acc[...] * corr + jnp.sum(p, axis=0)
+        corr_full = _dot(corr.astype(seg_ref.dtype),
+                         segt_ref[...])                          # [B, C]
+        p_full = _dot(p.reshape(wc * b, h).astype(segt_ref.dtype),
+                      segt_ref[...]).reshape(wc, b, c)
+        pv = jnp.sum((p_full.astype(vchunk.dtype) * vchunk)
+                     .astype(jnp.float32), axis=0)               # [B, C]
+        pv_acc[...] = pv_acc[...] * corr_full + pv
+        m_acc[...] = m_new
 
     @pl.when(wi == n_chunks - 1)
     def _():
         # fold in the current position from k_new/v_new, then normalize
+        q = q_acc[...]
         kn = kn_acc[...]
         vn = vn_acc[...]
         s_n = (_dot((q * kn).astype(q.dtype), seg_ref[...])
@@ -273,12 +306,88 @@ def _post_ff_kernel(
         xo_ref[...] = x + (acc_ref[...] + b2_ref[...]).astype(x.dtype)
 
 
+# ---------------------------------------------------------------- commit
+
+def _commit_kernel(pos_ref, *refs, n: int):
+    """Issue n overlapped VMEM->HBM row DMAs into the aliased caches.
+
+    refs layout: n row refs (VMEM blocks), n (unread) cache refs (ANY),
+    n output refs (ANY, aliased to the caches), n DMA semaphores. Every
+    copy targets row `pos` of its HBM-resident output; unwritten rows
+    keep the aliased input's content."""
+    pos = pos_ref[0]
+    rows, outs = refs[:n], refs[2 * n:3 * n]
+    sems = refs[3 * n:]
+    copies = [
+        pltpu.make_async_copy(r, o.at[pl.ds(pos, 1)], s)
+        for r, o, s in zip(rows, outs, sems)
+    ]
+    for cp in copies:
+        cp.start()
+    for cp in copies:
+        cp.wait()
+
+
+def commit_rows(pos, caches, rows, *, interpret: bool = False):
+    """Commit one decode step's KV rows for ALL layers in a single
+    aliased pallas_call (grid (1,)): each cache [T, B, C] comes back
+    with rows[i] written at row `pos`, every other row untouched
+    (in-place via input_output_aliases).
+
+    Replaces the per-layer dynamic_update_slice fallback: 2L tiny DUS
+    ops/step each pay ~3.5 us dispatch (round-2 profile: 33 ms of a
+    691 ms b16 decode). The caches stay HBM-resident (memory_space ANY)
+    — a first block-pipelined version that let Pallas stream the row
+    blocks through VMEM measured 79.2 vs 86.8 img/s at CFG b64: the
+    single-cell grid serializes 3n block DMAs and fetches the unread
+    cache/output blocks too. Explicit overlapped async row copies move
+    only the 2L*B*C row bytes."""
+    n = len(caches)
+    assert n == len(rows)
+    t_cache, b, c = caches[0].shape
+    row_spec = pl.BlockSpec((1, b, c), lambda i, pos: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+    new_caches = pl.pallas_call(
+        functools.partial(_commit_kernel, n=n),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[row_spec] * n + [any_spec] * n,
+            out_specs=tuple([any_spec] * n),
+            scratch_shapes=[pltpu.SemaphoreType.DMA] * n,
+        ),
+        out_shape=tuple(jax.ShapeDtypeStruct(kc.shape, kc.dtype)
+                        for kc in caches),
+        input_output_aliases={1 + n + i: i for i in range(n)},
+        cost_estimate=pl.CostEstimate(
+            flops=0, bytes_accessed=2 * n * b * c * 2, transcendentals=0),
+        interpret=interpret,
+    )(pos.reshape((1,)).astype(jnp.int32), *rows, *caches)
+    return list(new_caches)
+
+
 # ---------------------------------------------------------------- wrapper
 
 def _vmem_full(shape):
     nd = len(shape)
     return pl.BlockSpec(shape, lambda *a: (0,) * nd,
                         memory_space=pltpu.VMEM)
+
+
+def _window_chunking(window: int, b: int) -> Tuple[int, int]:
+    """Cache-window chunk size and count for the attention kernel grid."""
+    wc = max(8, min(64, 1024 // b))
+    while window % wc:
+        wc //= 2
+    return wc, window // wc
+
+
+def uses_inkernel_commit(window: int, b: int, c: int) -> bool:
+    """Whether decode_layer alias-commits KV rows in-kernel at this op
+    point (see the threshold note inside decode_layer)."""
+    wc, n_chunks = _window_chunking(window, b)
+    return n_chunks * b * c * 2 <= 512 * 1024
 
 
 def decode_layer(
@@ -295,6 +404,7 @@ def decode_layer(
     heads: int,
     head_dim: int,
     window: int,
+    defer_commit: bool = False,
     interpret: bool = False,
 ):
     """Run one fused decode layer.
@@ -304,7 +414,11 @@ def decode_layer(
     head_segment_matrices; w: per-layer dict from
     rarm.extract_decode_weights. Returns (x_out, k_cache, v_cache) —
     the caches come back with row `pos` committed IN-KERNEL (aliased
-    outputs, in-place under the decode scan).
+    outputs, in-place under the decode scan). Above the in-kernel
+    threshold (uses_inkernel_commit False): with defer_commit the raw
+    [1, B, C] k/v rows are returned instead, for a batched cross-layer
+    commit_rows call; otherwise a per-layer dynamic_update_slice commits
+    here.
     """
     b, c = x.shape
     s_ctx = cross_k.shape[0]
@@ -313,10 +427,7 @@ def decode_layer(
     quantized = "wqkv_s" in w
 
     # chunk the cache window so (Wc, B, C) blocks stay within VMEM
-    wc = max(8, min(64, 1024 // b))
-    while window % wc:
-        wc //= 2
-    n_chunks = window // wc
+    wc, n_chunks = _window_chunking(window, b)
 
     attn_scale_in = [w["wqkv_s"]] if quantized else []
     t_cache = k_cache.shape[0]
@@ -328,7 +439,7 @@ def decode_layer(
     # -8%). Alias-commit in-kernel only when the redundant write-back
     # stays under ~512 KB per layer-step (CFG b16 = 384 KB measured a
     # win); otherwise emit the rows and update caller-side.
-    inkernel_commit = n_chunks * b * c * 2 <= 512 * 1024
+    inkernel_commit = uses_inkernel_commit(window, b, c)
     if inkernel_commit:
         row_out = pl.BlockSpec((1, b, c), lambda i, pos: (pos[0], 0, 0),
                                memory_space=pltpu.VMEM)
@@ -359,9 +470,18 @@ def decode_layer(
             grid=(n_chunks,),
             in_specs=[
                 full_sp((b, c)),                        # x
-                pl.BlockSpec((wc, b, c), lambda i, pos: (i, 0, 0),
+                # chunk index clamped to the last chunk holding live rows
+                # (< pos): cells skipped by the in-kernel pl.when revisit
+                # the previous block instead of streaming unread tail
+                pl.BlockSpec((wc, b, c),
+                             lambda i, pos: (
+                                 jnp.minimum(i, jnp.maximum(pos[0] - 1, 0)
+                                             // wc), 0, 0),
                              memory_space=pltpu.VMEM),  # k window chunk
-                pl.BlockSpec((wc, b, c), lambda i, pos: (i, 0, 0),
+                pl.BlockSpec((wc, b, c),
+                             lambda i, pos: (
+                                 jnp.minimum(i, jnp.maximum(pos[0] - 1, 0)
+                                             // wc), 0, 0),
                              memory_space=pltpu.VMEM),  # v window chunk
                 full_sp(seg.shape), full_sp(segt.shape),
                 full_sp(w["n1s"].shape), full_sp(w["n1b"].shape),
@@ -391,6 +511,8 @@ def decode_layer(
       *attn_scale_in)
     if inkernel_commit:
         k_cache, v_cache = k_out, v_out
+    elif defer_commit:
+        k_cache, v_cache = k_out, v_out  # raw [1, B, C] rows
     else:
         k_cache = jax.lax.dynamic_update_slice_in_dim(
             k_cache, k_out, pos, axis=0)

@@ -69,13 +69,23 @@ def main():
     if opt.int8_weights:
         assert sampler is sample_tokens_fused, "int8 needs the fused path"
         extra["int8_weights"] = True
-    fn = jax.jit(lambda p, n, r: sampler(
+    jitted = jax.jit(lambda p, n, r: sampler(
         model, p, n, r, guidance_scale=guidance,
         approx_top_k=opt.approx_top_k, **extra))
     print(f"decode path: {sampler.__name__}", flush=True)
     print("compiling decode loop...", flush=True)
     t0 = time.perf_counter()
-    np.asarray(fn(params, neighbors, jax.random.PRNGKey(1)))
+    # AOT-lower from abstract shapes: tracing a jit call with hundreds of
+    # CONCRETE remote arrays costs ~0.75 s of tunnel RPC per leaf (the
+    # round-2 bench.py lesson) — lowering from ShapeDtypeStructs keeps
+    # tracing host-side and leaves only the (cached) compile
+    abstract = lambda t: jax.tree.map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t)
+    key0 = jax.random.PRNGKey(1)
+    exe = jitted.lower(abstract(params), abstract(neighbors),
+                       abstract(key0)).compile()
+    fn = lambda p, n, r: exe(p, n, r)
+    np.asarray(fn(params, neighbors, key0))
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
     # device->host copy per run forces a true sync: block_until_ready has

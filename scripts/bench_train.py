@@ -79,6 +79,13 @@ def main():
 
     print("compiling train step...", flush=True)
     t0 = time.perf_counter()
+    # AOT-lower from abstract shapes — tracing with concrete remote
+    # arrays costs ~0.75 s of tunnel RPC per leaf (bench.py lesson)
+    abstract = lambda t: jax.tree.map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t)
+    exe = step.lower(abstract(state), abstract(z), abstract(nns),
+                     abstract(key)).compile()
+    step = exe
     state, metrics = step(state, z, nns, key)
     np.asarray(metrics["loss"])
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)

@@ -238,3 +238,27 @@ def test_int8_decode_greedy_agreement():
                             top_k=1, int8_weights=True, interpret=True)
     agree = float((np.asarray(a) == np.asarray(b)).mean())
     assert agree >= 0.75, agree
+
+
+def test_deferred_batched_commit_matches_inkernel(monkeypatch):
+    """Above the in-kernel alias threshold the fused path defers KV rows
+    and commits all layers in one aliased commit_rows kernel. Forcing
+    that mode at test scale must reproduce the in-kernel-commit tokens
+    exactly (the commit mechanism must be invisible to sampling)."""
+    from rdm_tpu.models.rarm import sample_tokens_fused
+    from rdm_tpu.ops import decode_kernel
+
+    model, params = _init()
+    ctx = jnp.asarray(np.random.default_rng(11).standard_normal((2, 3, 12)),
+                      dtype=jnp.float32)
+    ref = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(7),
+                              top_k=10, guidance_scale=2.0,
+                              window_chunk=3, interpret=True)
+    monkeypatch.setenv("RARM_BATCHED_COMMIT", "1")
+    monkeypatch.setattr(decode_kernel, "uses_inkernel_commit",
+                        lambda *a: False)
+    deferred = sample_tokens_fused(model, params, ctx,
+                                   jax.random.PRNGKey(7), top_k=10,
+                                   guidance_scale=2.0, window_chunk=3,
+                                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(deferred))
