@@ -1,15 +1,40 @@
 #!/bin/bash
-# Released checkpoint layout expected by this framework (the reference's
-# scripts/download_models.sh targets; convert with
-# rdm_tpu.utils.torch_convert at load time — pipelines do this
-# automatically when model.ckpt sits beside config.yaml).
+# Fetch the released RDM/RARM checkpoints (torch .ckpt) into the layout
+# this framework's pipelines expect. URLs are the reference release
+# targets (reference scripts/download_models.sh); conversion to JAX
+# happens automatically at load time (rdm_tpu.utils.torch_convert) when
+# model.ckpt sits beside config.yaml.
 #
-# This build environment is egress-free; on a connected machine:
-set -e
-mkdir -p models/rdm/{imagenet,ffhq} models/rarm/imagenet/{dogs,mammals,animals}
-BASE=https://ommer-lab.com/files/rdm
-for m in rdm/imagenet rdm/ffhq rarm/imagenet/dogs rarm/imagenet/mammals rarm/imagenet/animals; do
-  wget -c "$BASE/$(basename $m).zip" -O "models/$m.zip" || echo "fetch models/$m manually"
-  unzip -o "models/$m.zip" -d "models/$m" || true
+# Resumable (wget -c). DRY_RUN=1 prints the fetch plan without network
+# (this build environment is egress-free).
+set -u
+BASE=https://ommer-lab.com/files/rdm/models
+MODELS="
+rdm/imagenet
+rdm/imagenet_in-db
+rdm/ffhq
+rarm/imagenet/dogs
+rarm/imagenet/mammals
+rarm/imagenet/animals
+"
+fail=0
+for m in $MODELS; do
+  dest="models/$m"
+  url="$BASE/$m/model.ckpt"
+  if [ "${DRY_RUN:-0}" = "1" ]; then
+    echo "would fetch $url -> $dest/model.ckpt"
+    continue
+  fi
+  mkdir -p "$dest"
+  if ! wget -c -P "$dest/" "$url"; then
+    echo "FAILED: $url (re-run to resume, or fetch manually)" >&2
+    fail=1
+  fi
 done
-echo "Also fetch OpenAI CLIP ViT-B/32 to models/clip/ViT-B-32.pt"
+if [ "${DRY_RUN:-0}" != "1" ]; then
+  echo "--- downloaded checkpoints:"
+  find models -name model.ckpt -exec du -h {} \; 2>/dev/null
+  echo "Convert a checkpoint ahead of time (optional; load-time is automatic):"
+  echo "  python scripts/convert_checkpoint.py --kind rdm --ckpt models/rdm/imagenet/model.ckpt --out models/rdm/imagenet/jax"
+fi
+exit $fail
