@@ -49,10 +49,12 @@ BACKWARD kernel is a measured no-go — CLAUDE.md ledger).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -193,6 +195,134 @@ def _post_ff_kernel(
         y_ref[0] = xm + (acc_ref[...] + b2_ref[...]).astype(xm.dtype)
 
 
+# ------------------------------------------------- kernel 3 split variant
+#
+# Round-3 micro-bench (slope-timed isolated kernels, chained through a
+# fori_loop so the ~28 ms tunnel dispatch cancels): the single (b, t, j)
+# _post_ff_kernel grid re-streams the FF column weights once per
+# (batch, row-tile) sweep and runs the cross-attention as s_ctx tiny
+# [M, H] SEG dots at ~10-25% lane utilization. Splitting it wins at
+# every resolution site of the flagship U-Net:
+#
+#   site             baseline      split      (us/iter, B=32)
+#   res32 C=384        2450.2     1863.6
+#   res16 C=576         782.7      741.3
+#   res8  C=960         975.0      579.4
+#
+# Split design (RDM_TPU_SPLIT_K3=0 reverts to the single kernel):
+#   3a `_post_cross_kernel` — grid (B, S_tiles): attn out-proj + LN2 +
+#      cross-attention via PER-IMAGE BLOCK MATRICES. The context is tiny
+#      (s_ctx retrieval tokens), so K/V fold into wk [C, P], wv [P, C]
+#      with P = heads*s_ctx padded to 128 lanes: ONE [M,C]x[C,P] score
+#      dot replaces the s_ctx-unrolled SEG loop, softmax normalizes with
+#      a row-global max (any per-row constant cancels per head), and the
+#      per-head denominator comes from a 0/1 group-sum matrix.
+#   3b `_geglu_ff_kernel` — grid (R_tiles, J) over BATCH-FLATTENED rows
+#      [B*S, C]: the FF weight columns stream once per full row sweep
+#      instead of once per (batch, row-tile).
+
+
+def _post_cross_kernel(x_ref, attn_ref, wk_ref, wv_ref, g_ref, segt_ref,
+                       wo_ref, bo_ref, n2s_ref, n2b_ref, wq2_ref, wo2_ref,
+                       bo2_ref, xmid_ref):
+    """Attn out-proj + residual + LN2 + cross-attn for one (batch, tile).
+
+    wk [1, C, P] (scale folded in), wv [1, P, C], g [P, H] per-head
+    group-sum, segt [H, C] head->channel broadcast."""
+    x = x_ref[0]
+    x1 = x + (_dot(attn_ref[0], wo_ref[...]) + bo_ref[...]).astype(x.dtype)
+    h2 = _layer_norm(x1, n2s_ref[...], n2b_ref[...])
+    q2 = _dot(h2, wq2_ref[...]).astype(x.dtype)           # [M, C]
+    s = _dot(q2, wk_ref[0])                               # [M, P] f32
+    mrow = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - mrow).astype(x.dtype)                 # [M, P]
+    den = _dot(p, g_ref[...])                             # [M, H] f32
+    num = _dot(p, wv_ref[0])                              # [M, C] f32
+    den_full = _dot(den.astype(x.dtype), segt_ref[...])   # [M, C] f32
+    attn2 = (num / den_full).astype(x.dtype)
+    xmid_ref[0] = x1 + (_dot(attn2, wo2_ref[...])
+                        + bo2_ref[...]).astype(x.dtype)
+
+
+def _geglu_ff_kernel(xm_ref, n3s_ref, n3b_ref, wa_ref, wg_ref, ba_ref,
+                     bg_ref, w2_ref, b2_ref, y_ref, h3_ref, acc_ref,
+                     *, n_col_blocks: int):
+    """LN3 + GEGLU FF over one row tile of the flattened [B*S, C] stream,
+    FF hidden dim column-blocked over the fast grid axis J."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        h3_ref[...] = _layer_norm(
+            xm_ref[...], n3s_ref[...], n3b_ref[...]).astype(xm_ref.dtype)
+
+    h3 = h3_ref[...]
+    a = _dot(h3, wa_ref[...]) + ba_ref[...]
+    g = _dot(h3, wg_ref[...]) + bg_ref[...]
+    f = (a * (0.5 * g * (1.0 + _erf(g * jnp.float32(0.7071067811865476))))
+         ).astype(h3.dtype)
+    part = _dot(f, w2_ref[...])
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(j == n_col_blocks - 1)
+    def _():
+        y_ref[...] = xm_ref[...] + (acc_ref[...]
+                                    + b2_ref[...]).astype(xm_ref.dtype)
+
+
+def make_cross_mats(ck, cv, heads: int, head_dim: int, scale: float):
+    """Fold pre-projected context K/V [B, T, C] into per-image block
+    matrices for `_post_cross_kernel`: wk [B, C, P] (scale folded in),
+    wv [B, P, C], g [P, H] 0/1 per-head column-group sum. Column order is
+    t-fastest within head (j = h*T + t); P = heads*T padded to 128 lanes.
+
+    All ops are tile/mask/pad elementwise — XLA hoists them out of the
+    DDIM scan since the context is loop-invariant."""
+    b, t, c = ck.shape
+    dt = ck.dtype
+    p_real = heads * t
+    p = _round_up(p_real, 128)
+    cidx = np.arange(c) // head_dim                       # head of channel
+    jh = np.arange(p_real) // t                           # head of column
+    mask = jnp.asarray((cidx[:, None] == jh[None, :]), dt)
+    ckt = jnp.transpose(ck, (0, 2, 1))                    # [B, C, T]
+    wk = jnp.tile(ckt, (1, 1, heads)) * mask[None]        # [B, C, HT]
+    wk = wk * jnp.asarray(scale, dt)
+    wk = jnp.pad(wk, ((0, 0), (0, 0), (0, p - p_real)))
+    cvt = jnp.tile(cv, (1, heads, 1))                     # [B, HT, C]
+    wv = jnp.pad(cvt * mask.T[None], ((0, 0), (0, p - p_real), (0, 0)))
+    g = (np.arange(p_real)[:, None] // t ==
+         np.arange(heads)[None, :]).astype(np.float32)
+    g = jnp.pad(jnp.asarray(g, dt), ((0, p - p_real), (0, 0)))
+    return wk, wv, g
+
+
+def _ff_col_blocks(c: int, ff: int, budget: int = 8 * 1024 * 1024) -> int:
+    """Smallest column-block count keeping resident FF weights within
+    the VMEM budget. n_col=1 means a single fetch (no double buffering,
+    so no 2x factor); multi-block streams double-buffered."""
+    ff_tiles = max(1, ff // 128)
+    wbytes = (2 * c * ff + ff * c) * 2
+    n_col = 1
+    for cand in range(1, ff_tiles + 1):
+        if ff % (cand * 128) and cand != 1:
+            continue
+        if ff_tiles % cand:
+            continue
+        n_col = cand
+        cost = wbytes if cand == 1 else 2 * wbytes // cand
+        if cost <= budget:
+            break
+    return n_col
+
+
 # ---------------------------------------------------------------- wrapper
 
 def _full(shape, ngrid):
@@ -220,6 +350,7 @@ def fused_transformer_block(
     heads: int,
     head_dim: int,
     interpret: bool = False,
+    split_k3: bool | None = None,
 ) -> jnp.ndarray:
     """One fused pre-LN transformer block (self-attn -> cross-attn ->
     GEGLU FF, each residual) — semantics of models.layers.TransformerBlock
@@ -291,6 +422,11 @@ def fused_transformer_block(
     )(q, k, v)
 
     # -- kernel 3: out-proj + cross-attn + GEGLU FF ----------------------
+    if split_k3 is None:
+        split_k3 = os.environ.get("RDM_TPU_SPLIT_K3", "1") != "0"
+    if split_k3:
+        return _split_post_ff(x, attn, ck, cv, w, heads=heads,
+                              head_dim=head_dim, interpret=interpret)
     ff = w["wa"].shape[1]
     s_ctx = ck.shape[1]
     seg, segt = head_segment_matrices(heads, head_dim, dtype=dt)
@@ -365,3 +501,95 @@ def fused_transformer_block(
       w["n3s"], w["n3b"], w["wa"], w["wg"], w["ba"], w["bg"], w["w2"],
       w["b2"])
     return y
+
+
+def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
+                   interpret: bool) -> jnp.ndarray:
+    """Split kernel-3 path (default; see the kernel-3-split comment block
+    for the measured matrix and the RDM_TPU_SPLIT_K3=0 revert)."""
+    b, s, c = x.shape
+    cp = _round_up(c, 128)
+    ff = w["wa"].shape[1]
+    scale = float(head_dim) ** -0.5
+    dt = x.dtype
+    _, segt = head_segment_matrices(heads, head_dim, dtype=dt)
+    wk, wv, g = make_cross_mats(ck, cv, heads, head_dim, scale)
+    p = wk.shape[2]
+
+    # -- 3a: out-proj + cross-attn, grid (B, S_tiles) --------------------
+    m_c = min(512, s)
+    while s % m_c:
+        m_c //= 2
+    xspec = pl.BlockSpec((1, m_c, c), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, m_c, cp), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM)
+    wkspec = pl.BlockSpec((1, c, p), lambda bi, ti: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+    wvspec = pl.BlockSpec((1, p, c), lambda bi, ti: (bi, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def const2(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda bi, ti: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    r = b * s
+    xmid = pl.pallas_call(
+        _post_cross_kernel,
+        grid=(b, s // m_c),
+        in_specs=[xspec, aspec, wkspec, wvspec, const2(g.shape),
+                  const2(segt.shape), const2(w["wo"].shape),
+                  const2(w["bo"].shape), const2(w["n2s"].shape),
+                  const2(w["n2b"].shape), const2(w["wq2"].shape),
+                  const2(w["wo2"].shape), const2(w["bo2"].shape)],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, s, c), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * c * (cp + 2 * c + 2 * p),
+            bytes_accessed=(w["wo"].size + w["wq2"].size + w["wo2"].size
+                            + b * 2 * c * p) * 2 + r * (c + cp) * 2 * 2,
+            transcendentals=r * p),
+        interpret=interpret,
+    )(x, attn, wk, wv, g, segt, w["wo"], w["bo"], w["n2s"], w["n2b"],
+      w["wq2"], w["wo2"], w["bo2"])
+
+    # -- 3b: LN3 + GEGLU FF over flattened rows, grid (R_tiles, J) -------
+    xm2 = xmid.reshape(r, c)
+    m = min(512, r)
+    while r % m:
+        m //= 2
+    n_col = _ff_col_blocks(c, ff)
+    fcol = ff // n_col
+    rowspec = pl.BlockSpec((m, c), lambda ti, ji: (ti, 0),
+                           memory_space=pltpu.VMEM)
+
+    def constf(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda ti, ji: (0,) * nd,
+                            memory_space=pltpu.VMEM)
+
+    col_in = pl.BlockSpec((c, fcol), lambda ti, ji: (0, ji),
+                          memory_space=pltpu.VMEM)
+    col_bias = pl.BlockSpec((1, fcol), lambda ti, ji: (0, ji),
+                            memory_space=pltpu.VMEM)
+    col_out = pl.BlockSpec((fcol, c), lambda ti, ji: (ji, 0),
+                           memory_space=pltpu.VMEM)
+    y2 = pl.pallas_call(
+        functools.partial(_geglu_ff_kernel, n_col_blocks=n_col),
+        grid=(r // m, n_col),
+        in_specs=[rowspec, constf(w["n3s"].shape), constf(w["n3b"].shape),
+                  col_in, col_in, col_bias, col_bias, col_out,
+                  constf(w["b2"].shape)],
+        out_specs=rowspec,
+        out_shape=jax.ShapeDtypeStruct((r, c), dt),
+        scratch_shapes=[pltpu.VMEM((m, c), dt),
+                        pltpu.VMEM((m, c), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * r * c * 3 * ff,
+            bytes_accessed=(2 * c * ff + ff * c) * 2 + r * c * 2 * 2,
+            transcendentals=r * ff),
+        interpret=interpret,
+    )(xm2, w["n3s"], w["n3b"], w["wa"], w["wg"], w["ba"], w["bg"],
+      w["w2"], w["b2"])
+    return y2.reshape(b, s, c)

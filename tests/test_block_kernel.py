@@ -26,13 +26,16 @@ def _mk(heads, head_dim, ctx_dim, b, s, s_ctx, dtype, seed=0):
     return ref, params, x, ctx
 
 
+@pytest.mark.parametrize("split_k3", ["0", "1"])
 @pytest.mark.parametrize("heads,head_dim,dtype,tol", [
     (4, 32, jnp.float32, 2e-5),    # exact 128-lane pack
     (6, 32, jnp.float32, 2e-5),    # ragged: Cp=256, last group 2 heads
     (4, 32, jnp.bfloat16, 3e-2),
     (2, 64, jnp.float32, 2e-5),    # 2 heads per lane group
 ])
-def test_fused_block_parity(heads, head_dim, dtype, tol):
+def test_fused_block_parity(heads, head_dim, dtype, tol, split_k3,
+                            monkeypatch):
+    monkeypatch.setenv("RDM_TPU_SPLIT_K3", split_k3)
     ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=2, s=16,
                               s_ctx=4, dtype=dtype)
     fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
@@ -43,6 +46,30 @@ def test_fused_block_parity(heads, head_dim, dtype, tol):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=tol, atol=tol)
+
+
+def test_split_k3_matches_single_kernel():
+    # the two kernel-3 formulations agree on identical inputs (f32 exact
+    # within accumulation-order noise), including a non-4 context length
+    from rdm_tpu.ops import block_kernel as bk
+
+    heads, head_dim, s_ctx = 6, 32, 3
+    c = heads * head_dim
+    ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=48, b=2, s=32,
+                              s_ctx=s_ctx, dtype=jnp.float32, seed=2)
+    single = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                   dtype=jnp.float32, interpret=True)
+    import unittest.mock as mock
+    orig = bk.fused_transformer_block
+    outs = {}
+    for mode in (False, True):
+        with mock.patch.object(
+                bk, "fused_transformer_block",
+                lambda *a, **kw: orig(*a, **{**kw, "split_k3": mode})):
+            outs[mode] = single.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(outs[True]),
+                               np.asarray(outs[False]),
+                               rtol=3e-5, atol=3e-5)
 
 
 def test_param_trees_identical():
