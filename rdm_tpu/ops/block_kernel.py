@@ -98,29 +98,37 @@ def _packed_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
 
     q [1, BQ, 128], k/v [1, S, 128]; 128//head_dim heads per group,
     each handled by a lane-masked full-width dot (same MXU cost as the
-    padded per-head dot — see module ADR)."""
-    q = q_ref[0]                            # [BQ, 128]
-    k = k_ref[0]                            # [S, 128]
-    v = v_ref[0]
-    bq = q.shape[0]
-    lanes = q.shape[1]
-    acc = jnp.zeros((bq, lanes), jnp.float32)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (bq, lanes), 1)
-    for h in range(lanes // head_dim):
-        mh = jnp.logical_and(lane >= h * head_dim,
-                             lane < (h + 1) * head_dim)
-        qh = jnp.where(mh, q, jnp.zeros_like(q))
-        s = jax.lax.dot_general(
-            qh, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [BQ, S]
-        s = s * (scale * _LOG2E)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp2(s - m)
-        den = jnp.sum(p, axis=-1, keepdims=True)
-        pv = _dot(p.astype(v.dtype), v)              # [BQ, 128] f32
-        pv = pv * pl.reciprocal(den, approx=False)
-        acc = acc + jnp.where(mh, pv, 0.0)
-    o_ref[0] = acc.astype(o_ref.dtype)
+    padded per-head dot — see module ADR).
+
+    The leading block dim is the images-per-cell count: 1 on the
+    row-tiled grid (large S), NB>1 on the multi-image grid (small S,
+    whole sequence per cell) — packing several images per cell
+    amortizes per-cell grid overhead that dominates at small S
+    (measured sweep, B=32 bf16: res16 S=256 nb=1 234 us -> nb=8
+    169.5; res8 S=64 nb=1 154.6 -> nb=8 53.3, nb=16/32 regress)."""
+    for n in range(q_ref.shape[0]):
+        q = q_ref[n]                        # [BQ, 128]
+        k = k_ref[n]                        # [S, 128]
+        v = v_ref[n]
+        bq = q.shape[0]
+        lanes = q.shape[1]
+        acc = jnp.zeros((bq, lanes), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, lanes), 1)
+        for h in range(lanes // head_dim):
+            mh = jnp.logical_and(lane >= h * head_dim,
+                                 lane < (h + 1) * head_dim)
+            qh = jnp.where(mh, q, jnp.zeros_like(q))
+            s = jax.lax.dot_general(
+                qh, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [BQ, S]
+            s = s * (scale * _LOG2E)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            den = jnp.sum(p, axis=-1, keepdims=True)
+            pv = _dot(p.astype(v.dtype), v)          # [BQ, 128] f32
+            pv = pv * pl.reciprocal(den, approx=False)
+            acc = acc + jnp.where(mh, pv, 0.0)
+        o_ref[n] = acc.astype(o_ref.dtype)
 
 
 # ---------------------------------------------------------------- kernel 3
@@ -399,20 +407,38 @@ def fused_transformer_block(
     q = q.reshape(b, s, cp)
     k = k.reshape(b, s, cp)
     v = v.reshape(b, s, cp)
-    bq = min(512, s)
-    while s % bq:
-        bq //= 2
     g = cp // 128
-    qspec = pl.BlockSpec((1, bq, 128), lambda bi, gi, qi: (bi, qi, gi),
-                         memory_space=pltpu.VMEM)
-    kvspec = pl.BlockSpec((1, s, 128), lambda bi, gi, qi: (bi, 0, gi),
-                          memory_space=pltpu.VMEM)
+    nb = 1
+    if s <= 256:
+        # multi-image grid: whole sequence per cell, pack images to
+        # amortize per-cell overhead (see _packed_attn_kernel docstring)
+        while nb < 8 and b % (2 * nb) == 0:
+            nb *= 2
+    if nb > 1:
+        mspec = pl.BlockSpec((nb, s, 128), lambda bi, gi: (bi, 0, gi),
+                             memory_space=pltpu.VMEM)
+        grid = (b // nb, g)
+        in_specs = [mspec, mspec, mspec]
+        out_spec = mspec
+    else:
+        bq = min(512, s)
+        while s % bq:
+            bq //= 2
+        qspec = pl.BlockSpec((1, bq, 128),
+                             lambda bi, gi, qi: (bi, qi, gi),
+                             memory_space=pltpu.VMEM)
+        kvspec = pl.BlockSpec((1, s, 128),
+                              lambda bi, gi, qi: (bi, 0, gi),
+                              memory_space=pltpu.VMEM)
+        grid = (b, g, s // bq)
+        in_specs = [qspec, kvspec, kvspec]
+        out_spec = qspec
     attn = pl.pallas_call(
         functools.partial(_packed_attn_kernel, head_dim=head_dim,
                           scale=scale),
-        grid=(b, g, s // bq),
-        in_specs=[qspec, kvspec, kvspec],
-        out_specs=qspec,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, s, cp), dt),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * s * s * cp,
