@@ -315,6 +315,35 @@ def test_shared_prefix_cfg_no_down_attention():
                                atol=2e-5, rtol=1e-4)
 
 
+def test_shared_cfg_flag_contract():
+    """Explicit shared_cfg flag (round-2 advisor): True demands a
+    (cond, uncond)-stacked 2B context; False rejects a 2x-batch context
+    instead of silently tiling the activations."""
+    import pytest
+
+    cfg = tiny_cfg()
+    model = UNet(cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    t = jnp.asarray([100, 700])
+    ctx = jax.random.normal(jax.random.PRNGKey(2), (2, 4, 64))
+    ctx2 = jnp.concatenate([ctx, jnp.zeros_like(ctx)], axis=0)
+    params = model.init(jax.random.PRNGKey(0), x, t, ctx)
+
+    # shared_cfg=True with a doubled context == auto-detect
+    auto = model.apply(params, x, t, ctx2)
+    explicit = model.apply(params, x, t, ctx2, shared_cfg=True)
+    np.testing.assert_allclose(np.asarray(explicit), np.asarray(auto))
+    # True without the 2B context: loud failure
+    with pytest.raises(ValueError, match="shared_cfg=True"):
+        model.apply(params, x, t, ctx, shared_cfg=True)
+    # False with an accidental 2x-batch context: loud failure, no tiling
+    with pytest.raises(ValueError, match="shared_cfg=False"):
+        model.apply(params, x, t, ctx2, shared_cfg=False)
+    # False with a matched context: plain batched forward
+    plain = model.apply(params, x, t, ctx, shared_cfg=False)
+    assert plain.shape == (2, 16, 16, 3)
+
+
 def test_ddim_cfg_mode_shared_matches_double():
     """End-to-end: ddim_sample(cfg_mode='shared') equals 'double' through
     the real UNet denoiser."""
