@@ -149,6 +149,28 @@ def wait_for_healthy_device(probe):
 
 
 def main():
+    # total-outage gate BEFORE any in-process device op: the axon tunnel
+    # can be fully down for hours (observed 3 h 2026-08-17) and a failed
+    # in-process backend init is cached by jax — probe in a subprocess
+    # and wait, instead of dying with a traceback and recording nothing.
+    from rdm_tpu.utils.device_gate import wait_for_backend
+    gate = wait_for_backend()
+    if not gate["ok"]:
+        print(json.dumps({
+            "metric": "rdm_ddim50_256px_images_per_sec_per_chip",
+            "value": None,
+            "unit": "images/sec",
+            "vs_baseline": None,
+            "degraded": True,
+            "error": "tpu backend unavailable",
+            "backend_wait_s": gate["waited_s"],
+            "backend_attempts": gate["attempts"],
+        }))
+        return
+    if gate["attempts"] > 1:
+        print(f"# backend recovered after {gate['waited_s']}s "
+              f"({gate['attempts']} probes)", flush=True)
+
     from rdm_tpu.models.autoencoder import AutoencoderConfig, VQModel
     from rdm_tpu.models.rdm import RDM, RDMConfig, sample_with_neighbors
     from rdm_tpu.ops.schedules import DiffusionSchedule

@@ -1,0 +1,82 @@
+"""Backend-availability gate for benchmark entry points.
+
+The axon TPU tunnel can be FULLY down for an hour or more
+(`Unable to initialize backend 'axon': UNAVAILABLE` — observed 3 h on
+2026-08-17). A bench that touches a device op during such a window dies
+with a traceback and the driver records nothing for the round. This gate
+runs BEFORE any in-process device op:
+
+- probes in a SUBPROCESS (a failed backend init inside this process is
+  cached by jax's xla_bridge, so an in-process retry can never recover);
+- bounded wait (`BENCH_BACKEND_WAIT_S`, default 2 h) with a fixed sleep
+  between attempts;
+- returns a self-describing dict the caller can fold into its JSON line
+  (`ok`, `attempts`, `waited_s`) so a capture that had to wait is
+  distinguishable from one that ran immediately.
+
+The probe itself is backend-agnostic: it only requires that jax can
+initialize *some* platform and run a tiny matmul to completion. Under the
+axon sitecustomize hook that means the tunnel is up; under an explicit
+`JAX_PLATFORMS=cpu` run it succeeds immediately (same behavior as having
+no gate).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+from typing import Any, Callable, Dict, Optional
+
+# One matmul, forced device->host copy: completes only if the backend
+# initializes AND executes (tunnel half-up states hang on execute, which
+# the subprocess timeout converts into a failed attempt).
+_PROBE_SRC = """
+import jax, numpy as np, jax.numpy as jnp
+x = jnp.ones((128, 128), jnp.bfloat16)
+np.asarray(jax.jit(lambda a: a @ a)(x))
+print(jax.devices()[0].platform)
+"""
+
+
+def _subprocess_probe(timeout_s: float) -> bool:
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_backend(
+    max_wait_s: Optional[float] = None,
+    probe_timeout_s: float = 240.0,
+    sleep_s: float = 120.0,
+    _probe: Optional[Callable[[float], bool]] = None,
+) -> Dict[str, Any]:
+    """Block until the jax backend can execute, or the budget runs out.
+
+    Returns {"ok", "attempts", "waited_s"}. `max_wait_s` defaults to
+    env `BENCH_BACKEND_WAIT_S` (seconds, default 7200). `_probe` is a
+    test seam; production uses the subprocess probe above.
+    """
+    if max_wait_s is None:
+        max_wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", 7200))
+    probe = _probe or _subprocess_probe
+    start = time.monotonic()
+    attempts = 0
+    while True:
+        attempts += 1
+        if probe(probe_timeout_s):
+            return {"ok": True, "attempts": attempts,
+                    "waited_s": round(time.monotonic() - start, 1)}
+        waited = time.monotonic() - start
+        if waited + sleep_s > max_wait_s:
+            return {"ok": False, "attempts": attempts,
+                    "waited_s": round(waited, 1)}
+        print(f"# backend unavailable (attempt {attempts}, "
+              f"{waited:.0f}s/{max_wait_s:.0f}s); retrying in "
+              f"{sleep_s:.0f}s", flush=True)
+        time.sleep(sleep_s)

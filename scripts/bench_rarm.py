@@ -39,6 +39,17 @@ def main():
                    help="int8 weight-only serving mode (fused path only)")
     opt = p.parse_args()
 
+    # bounded wait through total tunnel outages (bench.py rationale)
+    from rdm_tpu.utils.device_gate import wait_for_backend
+    gate = wait_for_backend()
+    if not gate["ok"]:
+        print(json.dumps({"metric": "rarm_decode_images_per_sec_per_chip",
+                          "value": None, "unit": "images/sec",
+                          "degraded": True,
+                          "error": "tpu backend unavailable",
+                          "backend_wait_s": gate["waited_s"]}))
+        return
+
     from rdm_tpu.models.rarm import (RARM, RARMConfig, sample_tokens,
                                      sample_tokens_fused,
                                      use_fused_decode_default)

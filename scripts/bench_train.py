@@ -44,6 +44,17 @@ def main():
                         "shape) instead of per step")
     opt = p.parse_args()
 
+    # bounded wait through total tunnel outages (bench.py rationale)
+    from rdm_tpu.utils.device_gate import wait_for_backend
+    gate = wait_for_backend()
+    if not gate["ok"]:
+        print(json.dumps({"metric": "rdm_train_samples_per_sec_per_chip",
+                          "value": None, "unit": "samples/sec",
+                          "degraded": True,
+                          "error": "tpu backend unavailable",
+                          "backend_wait_s": gate["waited_s"]}))
+        return
+
     from rdm_tpu.models.rdm import RDM, RDMConfig
     from rdm_tpu.ops.schedules import DiffusionSchedule
     from rdm_tpu.training.optim import make_optimizer
