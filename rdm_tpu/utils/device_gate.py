@@ -40,6 +40,24 @@ print(jax.devices()[0].platform)
 """
 
 
+def _backend_already_up() -> bool:
+    """True if THIS process already holds an initialized jax backend.
+
+    Checks xla_bridge's backend cache without triggering initialization —
+    calling jax.devices() here would be wrong twice over: during an outage
+    the failed init gets cached for the life of the process, and a later
+    in-process retry can never recover (the whole reason this gate probes
+    in a subprocess)."""
+    try:
+        import sys
+        if "jax" not in sys.modules:
+            return False
+        from jax._src import xla_bridge
+        return bool(xla_bridge._backends)
+    except Exception:
+        return False
+
+
 def _subprocess_probe(timeout_s: float) -> bool:
     try:
         r = subprocess.run(
@@ -64,6 +82,8 @@ def wait_for_backend(
     """
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", 7200))
+    if _probe is None and _backend_already_up():
+        return {"ok": True, "attempts": 0, "waited_s": 0.0}
     probe = _probe or _subprocess_probe
     start = time.monotonic()
     attempts = 0
