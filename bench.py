@@ -252,9 +252,7 @@ def main():
     _c0 = time.perf_counter()
     print("compiling pipeline...", flush=True)
 
-    def abstract(tree):
-        return jax.tree.map(
-            lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), tree)
+    from rdm_tpu.utils.aot import abstract
 
     key0 = jax.random.PRNGKey(2)
     pipeline_exe = pipeline.lower(

@@ -505,9 +505,17 @@ class DataLoader:
         return n
 
     def __iter__(self):
+        # per-epoch augmentation: datasets exposing set_epoch fold the
+        # pass number into their per-item RNG streams (openimages crops/
+        # degradations); forked torch workers inherit the value.
+        set_epoch = getattr(self.dataset, "set_epoch", None)
+        if set_epoch is not None:
+            set_epoch(self.epoch)
         if self.num_workers > 0:
             try:
-                return self._torch_iter()
+                it = self._torch_iter()  # workers capture current epoch
+                self.epoch += 1
+                return it
             except ImportError:
                 pass
         return self._serial_iter()

@@ -29,15 +29,18 @@ import numpy as np
 from rdm_tpu.data.base import center_crop, load_image, smallest_max_size
 
 
-def _per_item_rng(seed: int, index: int) -> np.random.Generator:
-    """Crop/degradation RNG derived from (seed, worker id, sample index).
+def _per_item_rng(seed: int, index: int,
+                  epoch: int = 0) -> np.random.Generator:
+    """Crop/degradation RNG derived from (seed, epoch, worker id, index).
 
     A dataset-member Generator created in __init__ is inherited with
     identical state by every forked DataLoader worker, duplicating
     augmentation sequences across workers (round-2 advisor). Folding the
-    torch worker id and the sample index into the seed gives every item a
-    distinct stream, and the shuffled index->worker assignment varies the
-    crop across epochs.
+    worker id and sample index gives every item a distinct stream, and
+    folding the loader epoch (base.DataLoader calls `set_epoch` before
+    each pass; respawned workers inherit it) makes the augmentation vary
+    across epochs — without it, sample i draws the exact same crop and
+    degradation every epoch whenever num_workers <= 1.
     """
     wid = 0
     try:
@@ -47,11 +50,19 @@ def _per_item_rng(seed: int, index: int) -> np.random.Generator:
             wid = info.id
     except Exception:
         pass
-    return np.random.default_rng((seed, wid, index))
+    return np.random.default_rng((seed, epoch, wid, index))
 
 
 class FullOpenImagesBase:
     split = "train"
+    _epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Fold the loader epoch into per-item augmentation streams.
+
+        base.DataLoader calls this at the start of every pass; forked
+        torch workers (persistent_workers=False) inherit the value."""
+        self._epoch = int(epoch)
 
     def __init__(self, root: str, size: Optional[int] = 256,
                  max_images: Optional[int] = None):
@@ -322,7 +333,7 @@ class SemanticOpenImagesBase(FullOpenImagesBase):
             mask = mask[..., 0]
         seg = np.where(mask != 0, class_label, 0).astype(np.int32)
         if self.size is not None:
-            image, seg = self._crop_pair(image, seg, _per_item_rng(self.seed, i))
+            image, seg = self._crop_pair(image, seg, _per_item_rng(self.seed, i, self._epoch))
         onehot = np.eye(self.num_classes, dtype=np.float32)[seg]
         if not self.seg_to_float:
             onehot = onehot.astype(np.int64)
@@ -372,7 +383,7 @@ class SuperresOpenImagesBase(FullOpenImagesBase):
         out = super().__getitem__(i)
         hr = out["image"]  # float [-1, 1]
         h, w = hr.shape[:2]
-        rng = _per_item_rng(self.seed, i)
+        rng = _per_item_rng(self.seed, i, self._epoch)
         if self.degradation in ("bsrgan", "bsrgan_light"):
             from rdm_tpu.data.degradation import degradation_bsr
 

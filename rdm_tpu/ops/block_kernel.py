@@ -232,18 +232,32 @@ def _post_ff_kernel(
 
 def _post_cross_kernel(x_ref, attn_ref, wk_ref, wv_ref, g_ref, segt_ref,
                        wo_ref, bo_ref, n2s_ref, n2b_ref, wq2_ref, wo2_ref,
-                       bo2_ref, xmid_ref):
+                       bo2_ref, xmid_ref, *, n_real: int):
     """Attn out-proj + residual + LN2 + cross-attn for one (batch, tile).
 
     wk [1, C, P] (scale folded in), wv [1, P, C], g [P, H] per-head
-    group-sum, segt [H, C] head->channel broadcast."""
+    group-sum, segt [H, C] head->channel broadcast; columns >= n_real are
+    zero padding.
+
+    Softmax numerics: any per-row constant cancels per head through the
+    num/den renormalization, so a row-global max suffices mathematically —
+    but the exp must survive the bf16 cast. Padded columns score exactly 0
+    and are EXCLUDED from the max (else they floor it at 0, and a row
+    whose real scores all sit below ~-88 underflows to den=0 -> NaN).
+    The shifted scores are additionally clamped at -75 (exp(-75) ~ 2.6e-33,
+    comfortably normal in bf16): a head sitting > 75 below the row-global
+    max keeps a finite, ~uniform attention pattern instead of NaN. Heads
+    within 75 of the max — every case observed with trained weights — are
+    bit-identical to the unclamped computation."""
     x = x_ref[0]
     x1 = x + (_dot(attn_ref[0], wo_ref[...]) + bo_ref[...]).astype(x.dtype)
     h2 = _layer_norm(x1, n2s_ref[...], n2b_ref[...])
     q2 = _dot(h2, wq2_ref[...]).astype(x.dtype)           # [M, C]
     s = _dot(q2, wk_ref[0])                               # [M, P] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(lane < n_real, s, _NEG_INF)
     mrow = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - mrow).astype(x.dtype)                 # [M, P]
+    p = jnp.exp(jnp.maximum(s - mrow, -75.0)).astype(x.dtype)  # [M, P]
     den = _dot(p, g_ref[...])                             # [M, H] f32
     num = _dot(p, wv_ref[0])                              # [M, C] f32
     den_full = _dot(den.astype(x.dtype), segt_ref[...])   # [M, C] f32
@@ -312,10 +326,15 @@ def make_cross_mats(ck, cv, heads: int, head_dim: int, scale: float):
     return wk, wv, g
 
 
-def _ff_col_blocks(c: int, ff: int, budget: int = 8 * 1024 * 1024) -> int:
+def _ff_col_blocks(c: int, ff: int, budget: int = 8 * 1024 * 1024,
+                   fixed_bytes: int = 0) -> int:
     """Smallest column-block count keeping resident FF weights within
     the VMEM budget. n_col=1 means a single fetch (no double buffering,
-    so no 2x factor); multi-block streams double-buffered."""
+    so no 2x factor); multi-block streams double-buffered. `fixed_bytes`
+    accounts for non-blocked weights resident in the same kernel (the
+    single-kernel path keeps wo/wq2/wo2 in VMEM alongside the FF
+    columns). Both kernel-3 variants size through this one function so
+    the RDM_TPU_SPLIT_K3 A/B compares kernels, not blocking policies."""
     ff_tiles = max(1, ff // 128)
     wbytes = (2 * c * ff + ff * c) * 2
     n_col = 1
@@ -326,7 +345,7 @@ def _ff_col_blocks(c: int, ff: int, budget: int = 8 * 1024 * 1024) -> int:
             continue
         n_col = cand
         cost = wbytes if cand == 1 else 2 * wbytes // cand
-        if cost <= budget:
+        if fixed_bytes + cost <= budget:
             break
     return n_col
 
@@ -460,20 +479,11 @@ def fused_transformer_block(
     m_c = min(512, s)
     while s % m_c:
         m_c //= 2
-    # FF column blocks so resident weights stay within the VMEM budget;
-    # block width must stay a multiple of 128 lanes, so n_col ranges over
-    # the divisors of ff/128
+    # FF column blocks so resident weights (incl. the non-blocked
+    # wo/wq2/wo2 this kernel also holds) stay within the VMEM budget
     fixed = (w["wo"].size + w["wq2"].size + w["wo2"].size) * 2
-    ff_tiles = max(1, ff // 128)
-    n_col = 1
-    for cand in range(1, ff_tiles + 1):
-        if ff % (cand * 128) and cand != 1:
-            continue
-        if ff_tiles % cand:
-            continue
-        n_col = cand
-        if fixed + (2 * c * ff + ff * c) * 2 // cand <= 9 * 1024 * 1024:
-            break
+    n_col = _ff_col_blocks(c, ff, budget=9 * 1024 * 1024,
+                           fixed_bytes=fixed)
     fcol = ff // n_col
 
     xspec = pl.BlockSpec((1, m_c, c), lambda bi, ti, ji: (bi, ti, 0),
@@ -562,7 +572,7 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
 
     r = b * s
     xmid = pl.pallas_call(
-        _post_cross_kernel,
+        functools.partial(_post_cross_kernel, n_real=heads * ck.shape[1]),
         grid=(b, s // m_c),
         in_specs=[xspec, aspec, wkspec, wvspec, const2(g.shape),
                   const2(segt.shape), const2(w["wo"].shape),

@@ -41,19 +41,34 @@ print(jax.devices()[0].platform)
 
 
 def _backend_already_up() -> bool:
-    """True if THIS process already holds an initialized jax backend.
+    """True if THIS process already holds the initialized jax backend it
+    will actually use.
 
     Checks xla_bridge's backend cache without triggering initialization —
     calling jax.devices() here would be wrong twice over: during an outage
     the failed init gets cached for the life of the process, and a later
     in-process retry can never recover (the whole reason this gate probes
-    in a subprocess)."""
+    in a subprocess).
+
+    A cached CPU backend alone must NOT count when an accelerator plugin
+    is registered: jax caches every platform that initializes even when
+    the preferred one (axon) fails, so "some backend exists" would wave a
+    TPU bench straight into a tunnel outage."""
     try:
-        import sys
         if "jax" not in sys.modules:
             return False
+        import jax
         from jax._src import xla_bridge
-        return bool(xla_bridge._backends)
+        if not xla_bridge._backends:
+            return False
+        plats = jax.config.jax_platforms
+        if plats:  # explicit platform choice (e.g. tests force "cpu")
+            return plats.split(",")[0] in xla_bridge._backends
+        if any(p != "cpu" for p in xla_bridge._backends):
+            return True  # a real accelerator is up
+        # cpu-only cache: fine only if cpu is the only registered platform
+        factories = getattr(xla_bridge, "_backend_factories", {})
+        return set(factories) <= {"cpu"}
     except Exception:
         return False
 

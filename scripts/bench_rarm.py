@@ -86,16 +86,12 @@ def main():
     print(f"decode path: {sampler.__name__}", flush=True)
     print("compiling decode loop...", flush=True)
     t0 = time.perf_counter()
-    # AOT-lower from abstract shapes: tracing a jit call with hundreds of
-    # CONCRETE remote arrays costs ~0.75 s of tunnel RPC per leaf (the
-    # round-2 bench.py lesson) — lowering from ShapeDtypeStructs keeps
-    # tracing host-side and leaves only the (cached) compile
-    abstract = lambda t: jax.tree.map(
-        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t)
+    from rdm_tpu.utils.aot import abstract
+
     key0 = jax.random.PRNGKey(1)
     exe = jitted.lower(abstract(params), abstract(neighbors),
                        abstract(key0)).compile()
-    fn = lambda p, n, r: exe(p, n, r)
+    fn = exe
     np.asarray(fn(params, neighbors, key0))
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 

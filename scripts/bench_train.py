@@ -90,10 +90,8 @@ def main():
 
     print("compiling train step...", flush=True)
     t0 = time.perf_counter()
-    # AOT-lower from abstract shapes — tracing with concrete remote
-    # arrays costs ~0.75 s of tunnel RPC per leaf (bench.py lesson)
-    abstract = lambda t: jax.tree.map(
-        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), t)
+    from rdm_tpu.utils.aot import abstract
+
     exe = step.lower(abstract(state), abstract(z), abstract(nns),
                      abstract(key)).compile()
     step = exe

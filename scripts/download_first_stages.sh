@@ -20,7 +20,11 @@ for m in $MODELS; do
   fi
   mkdir -p "$dest"
   if wget -c -O "$dest/model.zip" "$url"; then
-    (cd "$dest" && unzip -o model.zip && rm -f model.zip)
+    if ! (cd "$dest" && unzip -o model.zip && rm -f model.zip); then
+      echo "FAILED to extract $dest/model.zip (corrupt/truncated?" \
+           "delete it and re-run)" >&2
+      fail=1
+    fi
   else
     echo "FAILED: $url (re-run to resume, or fetch manually)" >&2
     fail=1

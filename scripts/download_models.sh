@@ -9,26 +9,36 @@
 # (this build environment is egress-free).
 set -u
 BASE=https://ommer-lab.com/files/rdm/models
+REPO_ROOT="$(cd "$(dirname "$0")/.." && pwd)"
+# model -> repo config installed beside the checkpoint (from_model_dir
+# loads <model_dir>/config.yaml). imagenet_in-db is the imagenet model
+# served against the in-database retrieval index -> same model config.
 MODELS="
-rdm/imagenet
-rdm/imagenet_in-db
-rdm/ffhq
-rarm/imagenet/dogs
-rarm/imagenet/mammals
-rarm/imagenet/animals
+rdm/imagenet:configs/rdm/imagenet.yaml
+rdm/imagenet_in-db:configs/rdm/imagenet.yaml
+rdm/ffhq:configs/rdm/ffhq.yaml
+rarm/imagenet/dogs:configs/rarm/dogs.yaml
+rarm/imagenet/mammals:configs/rarm/mammals.yaml
+rarm/imagenet/animals:configs/rarm/animals.yaml
 "
 fail=0
-for m in $MODELS; do
+for entry in $MODELS; do
+  m="${entry%%:*}"
+  cfg="$REPO_ROOT/${entry#*:}"
   dest="models/$m"
   url="$BASE/$m/model.ckpt"
   if [ "${DRY_RUN:-0}" = "1" ]; then
     echo "would fetch $url -> $dest/model.ckpt"
+    echo "would copy ${entry#*:} -> $dest/config.yaml"
     continue
   fi
   mkdir -p "$dest"
   if ! wget -c -P "$dest/" "$url"; then
     echo "FAILED: $url (re-run to resume, or fetch manually)" >&2
     fail=1
+  fi
+  if [ ! -f "$dest/config.yaml" ]; then
+    cp "$cfg" "$dest/config.yaml" || fail=1
   fi
 done
 if [ "${DRY_RUN:-0}" != "1" ]; then

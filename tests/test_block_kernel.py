@@ -90,6 +90,46 @@ def test_split_k3_matches_single_kernel():
                                rtol=3e-5, atol=3e-5)
 
 
+def test_split_k3_all_negative_scores_no_nan():
+    # Regression: the packed [M, P] score matrix zero-pads P up to 128
+    # lanes. The padded columns used to participate in the row-global
+    # softmax max, flooring it at 0 — a row whose REAL cross-attn scores
+    # all sit below ~-88 then underflowed to den=0 -> NaN in bf16.
+    # Construct that regime exactly: identical rows, every score ~ -95.
+    from rdm_tpu.ops.block_kernel import _split_post_ff
+
+    heads, head_dim, s_ctx, b, s, ff = 4, 32, 3, 1, 16, 256
+    c = heads * head_dim
+    dt = jnp.bfloat16
+    v = np.linspace(-1.0, 1.0, c, dtype=np.float32)
+    u = (v - v.mean()) / v.std()                    # = LN2 output per row
+    beta = 95.0 / (float(head_dim) ** -0.5
+                   * min((u[h * head_dim:(h + 1) * head_dim] ** 2).sum()
+                         for h in range(heads)))
+    x = jnp.asarray(np.tile(v, (b, s, 1)), dt)
+    attn = jnp.zeros((b, s, c), dt)
+    ck = jnp.asarray(-beta * np.tile(u, (b, s_ctx, 1)), dt)  # scores ~ -95
+    rng = np.random.default_rng(7)
+    cv = jnp.asarray(rng.standard_normal((b, s_ctx, c)), dt)
+    eye = jnp.eye(c, dtype=dt)
+    zeros_c = jnp.zeros((1, c), dt)
+    w = dict(wo=jnp.zeros((c, c), dt), bo=zeros_c,
+             n2s=jnp.ones((1, c), dt), n2b=zeros_c,
+             wq2=eye, wo2=eye, bo2=zeros_c,
+             n3s=jnp.ones((1, c), dt), n3b=zeros_c,
+             wa=jnp.zeros((c, ff), dt), wg=jnp.zeros((c, ff), dt),
+             ba=jnp.zeros((1, ff), dt), bg=jnp.zeros((1, ff), dt),
+             w2=jnp.zeros((ff, c), dt), b2=zeros_c)
+    y = _split_post_ff(x, attn, ck, cv, w, heads=heads, head_dim=head_dim,
+                       interpret=True)
+    got = np.asarray(y - x, np.float32)             # = cross-attn output
+    assert np.isfinite(got).all()
+    # equal scores per head -> exactly uniform attention over s_ctx
+    want = np.asarray(jnp.mean(cv, axis=1, keepdims=True), np.float32)
+    want = np.broadcast_to(want, got.shape)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
+
+
 def test_param_trees_identical():
     heads, head_dim = 4, 32
     c = heads * head_dim

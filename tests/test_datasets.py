@@ -277,3 +277,34 @@ def test_superres_openimages_bsr(tmp_path):
     ds2 = SuperresOpenImagesTrain(str(root), size=64, down_factor=4,
                                   degradation="bicubic", noise_level=0.05)
     assert ds2[0]["LR_image"].shape == (16, 16, 3)
+
+
+def test_augmentation_varies_per_epoch(tmp_path):
+    # per-item RNG folds (seed, epoch, worker, index): the same sample
+    # must draw a different degradation each epoch, reproducibly
+    from PIL import Image
+
+    from rdm_tpu.data.base import DataLoader
+    from rdm_tpu.data.openimages import SuperresOpenImagesTrain
+
+    root = tmp_path / "oi"
+    root.mkdir()
+    rng = np.random.default_rng(1)
+    Image.fromarray(rng.integers(0, 255, (80, 70, 3),
+                                 dtype=np.uint8)).save(root / "a.png")
+    (root / "train_filelist.txt").write_text("a.png")
+    ds = SuperresOpenImagesTrain(str(root), size=64, down_factor=4)
+    e0 = ds[0]["LR_image"]
+    ds.set_epoch(1)
+    e1 = ds[0]["LR_image"]
+    assert not np.array_equal(e0, e1)
+    ds.set_epoch(0)
+    np.testing.assert_array_equal(ds[0]["LR_image"], e0)
+
+    # the loader propagates its pass number into the dataset
+    ds.set_epoch(0)
+    loader = DataLoader(ds, batch_size=1, shuffle=False, drop_last=False)
+    b0 = next(iter(loader))["LR_image"][0]
+    b1 = next(iter(loader))["LR_image"][0]
+    np.testing.assert_array_equal(b0, e0)
+    assert not np.array_equal(b0, b1)

@@ -34,6 +34,33 @@ def test_gives_up_within_budget():
     assert time.monotonic() - t0 < 1.0
 
 
+def test_fast_path_is_platform_specific(monkeypatch):
+    # The in-process fast path must only trigger for the platform the
+    # process will actually use: a cached CPU backend during an axon
+    # tunnel outage must not wave a TPU bench through.
+    import jax
+    import jax.numpy as jnp
+    from jax._src import xla_bridge
+
+    from rdm_tpu.utils import device_gate as dg
+
+    _ = jnp.zeros(1) + 1  # ensure the cpu backend is initialized
+    assert dg._backend_already_up()  # conftest pins jax_platforms="cpu"
+    out = wait_for_backend(max_wait_s=10.0)
+    assert out["ok"] and out["attempts"] == 0
+
+    # auto-select with an accelerator plugin registered but only cpu
+    # initialized (= outage): no fast path
+    jax.config.update("jax_platforms", None)
+    try:
+        monkeypatch.setitem(xla_bridge._backend_factories, "fake_tpu",
+                            None)
+        assert not dg._backend_already_up()
+    finally:
+        jax.config.update("jax_platforms", "cpu")
+    assert dg._backend_already_up()
+
+
 def test_real_probe_succeeds_on_cpu(monkeypatch):
     # the production subprocess probe must pass in the CPU test env —
     # the gate only asserts "jax can execute", not "platform is tpu".
