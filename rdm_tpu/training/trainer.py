@@ -43,6 +43,16 @@ from rdm_tpu.training.train_state import (
 )
 
 
+def _place_state(state: "TrainState", mesh, param_sharding: str):
+    """Device placement for a fresh/restored train state: FSDP-shard the
+    leaves over the data axis when configured, else leave as-is (jit's
+    replicated in_shardings handles placement)."""
+    if param_sharding == "fsdp" and mesh is not None:
+        from rdm_tpu.parallel.mesh import shard_train_state
+        return shard_train_state(state, mesh)
+    return state
+
+
 @dataclasses.dataclass
 class TrainerConfig:
     logdir: str = "logs/run"
@@ -74,6 +84,10 @@ class TrainerConfig:
     # Adam first-moment storage dtype (None = f32). "bfloat16" frees
     # ~0.8 GB HBM on the 395M flagship for larger batches.
     adam_mu_dtype: Optional[str] = None
+    # "replicated" (reference-DDP equivalent) or "fsdp": shard params,
+    # Adam moments and EMA over the data axis (parallel.mesh.fsdp_spec)
+    # for models whose train state outgrows one chip's HBM.
+    param_sharding: str = "replicated"
 
 
 class RDMTrainer:
@@ -108,7 +122,8 @@ class RDMTrainer:
         self.step_fn = make_train_step(
             self.model, self.tx, self.schedule, mesh=mesh,
             ema_decay=trainer.ema_decay, remat=trainer.remat,
-            remat_policy=trainer.remat_policy)
+            remat_policy=trainer.remat_policy,
+            param_sharding=trainer.param_sharding)
         self.first_stage = VQModel(first_stage_config, dtype=jnp.bfloat16)
         self.first_stage_params = first_stage_params
         # LDM trains on the PRE-quantization latent (VQModelInterface.encode)
@@ -151,8 +166,8 @@ class RDMTrainer:
         latest = self.ckpt.latest_step()
         if latest is not None:
             print(f"resuming from step {latest}")
-            return self.ckpt.restore(state, latest)
-        return state
+            state = self.ckpt.restore(state, latest)
+        return _place_state(state, self.mesh, self.tcfg.param_sharding)
 
     # ---------- batch plumbing ----------
 
@@ -298,6 +313,7 @@ class RARMTrainer:
 
         self.cfg = config
         self.tcfg = trainer
+        self.mesh = mesh
         n_data = mesh.shape.get("data", 1) if mesh is not None else 1
         lr = trainer.base_lr
         if trainer.scale_lr and batch_size is not None:
@@ -311,7 +327,8 @@ class RARMTrainer:
             b1=0.9, b2=0.95, weight_decay=1e-2)
         self.step_fn = make_rarm_train_step(
             self.model, self.tx, mesh=mesh, ema_decay=trainer.ema_decay,
-            p_mask_max=config.p_mask_max)
+            p_mask_max=config.p_mask_max,
+            param_sharding=trainer.param_sharding)
         self.first_stage = VQModel(first_stage_config, dtype=jnp.bfloat16)
         self.first_stage_params = first_stage_params
 
@@ -344,8 +361,8 @@ class RARMTrainer:
         latest = self.ckpt.latest_step()
         if latest is not None:
             print(f"resuming from step {latest}")
-            return self.ckpt.restore(state, latest)
-        return state
+            state = self.ckpt.restore(state, latest)
+        return _place_state(state, self.mesh, self.tcfg.param_sharding)
 
     def prepare_batch(self, batch):
         x = jnp.asarray(batch["image"], dtype=jnp.float32)

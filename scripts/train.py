@@ -35,6 +35,10 @@ def parse_args():
     p.add_argument("--mesh_data", type=int, default=None,
                    help="data-parallel axis size (default: all devices)")
     p.add_argument("--num_workers", type=int, default=0)
+    p.add_argument("--param_sharding", choices=("replicated", "fsdp"),
+                   default="replicated",
+                   help="fsdp shards params/moments/EMA over the data "
+                        "axis for models that outgrow one chip's HBM")
     return p.parse_known_args()
 
 
@@ -172,6 +176,7 @@ def main():
             "accumulate_grad_batches", 1),
         max_steps=opt.max_steps or lightning.get("max_steps", 100_000),
         seed=opt.seed,
+        param_sharding=opt.param_sharding,
     )
     cls = RARMTrainer if is_rarm else RDMTrainer
     trainer = cls(model_cfg, tcfg, fs_cfg, fs_params, mesh=mesh,

@@ -142,3 +142,39 @@ def test_save_lowres_remat_and_bf16_moments():
         st, metrics = step(st, z, nns, rng)
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
+
+
+def test_train_step_fsdp_matches_replicated():
+    """param_sharding="fsdp" (state leaves sharded over the data axis)
+    must produce the same update as the replicated DP step, with the big
+    leaves actually sharded (ZeRO semantics via GSPMD)."""
+    from rdm_tpu.parallel.mesh import shard_train_state
+
+    mesh = make_mesh(data=8, db=1)
+    cfg = tiny_rdm()
+    model = RDM(cfg)
+    x = jnp.zeros((2, 4, 4, 2))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray([0, 1]),
+                        jnp.zeros((2, 2, 8)))
+    schedule = DiffusionSchedule.create(cfg.timesteps, "linear", 0.0015,
+                                        0.0195)
+    tx = make_optimizer(1e-3, warm_up_steps=2)
+    state_r = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    state_f = shard_train_state(init_train_state(params, tx), mesh,
+                                min_size=64)
+    step_r = make_train_step(model, tx, schedule, mesh=mesh, remat=True)
+    step_f = make_train_step(model, tx, schedule, mesh=mesh, remat=True,
+                             param_sharding="fsdp", fsdp_min_size=64)
+    rng = jax.random.PRNGKey(3)
+    z = jax.random.normal(jax.random.PRNGKey(4), (8, 4, 4, 2))
+    nns = jax.random.normal(jax.random.PRNGKey(5), (8, 1, 2, 8))
+    sr, mr = step_r(state_r, z, nns, rng)
+    sf, mf = step_f(state_f, z, nns, rng)
+    np.testing.assert_allclose(float(mr["loss"]), float(mf["loss"]),
+                               rtol=1e-5)
+    specs = [str(l.sharding.spec) for l in jax.tree.leaves(sf.params)]
+    assert any("data" in s for s in specs), specs  # really sharded
+    for a, b in zip(jax.tree.leaves(sr.params),
+                    jax.tree.leaves(sf.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5)
