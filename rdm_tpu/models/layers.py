@@ -640,9 +640,23 @@ class FusedTransformerBlock(nn.Module):
         ctx = context.astype(dt)
         ck = jnp.einsum("bsd,dc->bsc", ctx, wk2.astype(dt))
         cv = jnp.einsum("bsd,dc->bsc", ctx, wv2.astype(dt))
-        return fused_transformer_block(
-            x.astype(dt), ck, cv, weights, heads=self.heads,
-            head_dim=self.head_dim, interpret=self.interpret)
+        # batch-partitioned under a multi-device mesh: without the
+        # custom_partitioning wrapper GSPMD all-gathers the DP-sharded
+        # batch around the opaque pallas_calls (ops/partitioning.py).
+        # plain positional closure: custom_partitioning rejects functions
+        # whose signature leaves keyword(-only) arguments unresolved
+        from rdm_tpu.ops.partitioning import call_batch_partitioned
+
+        heads, head_dim, interpret = self.heads, self.head_dim, \
+            self.interpret
+
+        def fn(xb, ckb, cvb, wb):
+            return fused_transformer_block(
+                xb, ckb, cvb, wb, heads=heads, head_dim=head_dim,
+                interpret=interpret)
+
+        return call_batch_partitioned(
+            fn, (x.astype(dt), ck, cv, weights), (0, 0, 0, None))
 
 
 class SpatialTransformer(nn.Module):

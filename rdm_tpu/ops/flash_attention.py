@@ -76,7 +76,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, causal: bool,
     o_ref[0, 0, :, :] = out.astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, scale: float, causal: bool):
+def _flash_forward(q, k, v, scale: float, causal: bool,
+                   interpret: bool = False):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = min(512, sq)
@@ -116,6 +117,7 @@ def _flash_forward(q, k, v, scale: float, causal: bool):
             bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
+        interpret=interpret,
     )(qt, kt, vt)
     return jnp.transpose(out, (0, 2, 1, 3))
 
@@ -234,16 +236,34 @@ def _xla_reference(q, k, v, scale: float, causal: bool):
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash(q, k, v, scale, causal):
-    return _flash_forward(q, k, v, scale, causal)
+def _flash_forward_partitioned(q, k, v, scale, causal,
+                               interpret=False):
+    """Forward kernel, batch-partitioned over a multi-device mesh.
+
+    Wrapping INSIDE the custom_vjp (not around it) keeps differentiation
+    on the defvjp path — custom_partitioning ops have no VJP rule — while
+    the primal/fwd kernel runs on local batch shards instead of being
+    all-gathered around the opaque pallas_call (ops/partitioning.py)."""
+    from rdm_tpu.ops.partitioning import call_batch_partitioned
+
+    def fn(q_, k_, v_):
+        return _flash_forward(q_, k_, v_, scale, causal,
+                              interpret=interpret)
+
+    return call_batch_partitioned(fn, (q, k, v), (0, 0, 0))
 
 
-def _flash_fwd(q, k, v, scale, causal):
-    return _flash_forward(q, k, v, scale, causal), (q, k, v)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash(q, k, v, scale, causal, interpret):
+    return _flash_forward_partitioned(q, k, v, scale, causal, interpret)
 
 
-def _flash_bwd(scale, causal, res, g):
+def _flash_fwd(q, k, v, scale, causal, interpret):
+    return (_flash_forward_partitioned(q, k, v, scale, causal, interpret),
+            (q, k, v))
+
+
+def _flash_bwd(scale, causal, interpret, res, g):
     # Measured on v5e (flagship train step, batch 16): the XLA-recompute
     # backward gives 82.1 samples/s vs 71.6 with the Pallas backward
     # (_flash_backward) — XLA fuses the recompute into the surrounding
@@ -267,11 +287,16 @@ def flash_attention(
     scale: Optional[float] = None,
     causal: bool = False,
     mask: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Fused attention over BSHD tensors. Key-padding masks are not fused;
-    callers with masks route to the XLA path (rdm_tpu.ops.attention)."""
+    callers with masks route to the XLA path (rdm_tpu.ops.attention).
+    `interpret=True` runs the kernel in Pallas interpret mode (CPU tests;
+    composes with the batch partitioner, unlike
+    pltpu.force_tpu_interpret_mode whose IO-callback lowering cannot run
+    inside a custom_partitioning module)."""
     if mask is not None:
         raise NotImplementedError("flash kernel does not take padding masks")
     if scale is None:
         scale = q.shape[-1] ** -0.5
-    return _flash(q, k, v, float(scale), bool(causal))
+    return _flash(q, k, v, float(scale), bool(causal), bool(interpret))

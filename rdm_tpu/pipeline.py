@@ -561,8 +561,12 @@ class RARMPipeline:
             from rdm_tpu.models.rarm import (sample_tokens_fused,
                                              use_fused_decode_default)
 
-            # fused Pallas decode kernels on TPU (single-device: the
-            # custom calls aren't partitionable under a sharded batch)
+            # fused Pallas decode kernels on TPU, single-device only: the
+            # decode kernels' in-kernel aliased KV-cache commits don't
+            # survive a custom_partitioning wrap (unlike the RDM block
+            # kernels, which DO batch-partition — ops/partitioning.py),
+            # so DP meshes take the XLA staged path that GSPMD shards
+            # natively
             fused = (use_fused_decode_default()
                      and (self.mesh is None
                           or self.mesh.shape.get("data", 1) <= 1))
