@@ -591,8 +591,16 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
       w["wq2"], w["wo2"], w["bo2"])
 
     # -- 3b: LN3 + GEGLU FF over flattened rows, grid (R_tiles, J) -------
+    # RDM_TPU_FF_ROWS: row-tile size knob (default 512) for on-TPU sweeps
+    # — larger tiles amortize per-cell overhead at the cost of VMEM.
+    # Sanitized to a positive power of two so a bad env value can't zero
+    # the tile (ZeroDivisionError) or collapse it to 1-row cells.
     xm2 = xmid.reshape(r, c)
-    m = min(512, r)
+    m_env = int(os.environ.get("RDM_TPU_FF_ROWS", "512"))
+    if m_env < 1:
+        m_env = 512
+    m_env = 1 << (m_env.bit_length() - 1)
+    m = min(m_env, r)
     while r % m:
         m //= 2
     n_col = _ff_col_blocks(c, ff)

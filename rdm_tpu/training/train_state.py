@@ -52,10 +52,10 @@ def _state_constrainer(mesh: Optional[Mesh], param_sharding: str,
     the OUTPUT state stays sharded (the input's sharding comes from
     shard_train_state; without the output pin GSPMD may decide to keep a
     replicated copy alive, forfeiting the memory win)."""
+    if param_sharding not in ("replicated", "fsdp"):
+        raise ValueError(f"unknown param_sharding '{param_sharding}'")
     if param_sharding == "replicated" or mesh is None:
         return lambda tree: tree
-    if param_sharding != "fsdp":
-        raise ValueError(f"unknown param_sharding '{param_sharding}'")
     from rdm_tpu.parallel.mesh import fsdp_spec
 
     n = mesh.shape["data"]

@@ -46,11 +46,28 @@ from rdm_tpu.training.train_state import (
 def _place_state(state: "TrainState", mesh, param_sharding: str):
     """Device placement for a fresh/restored train state: FSDP-shard the
     leaves over the data axis when configured, else leave as-is (jit's
-    replicated in_shardings handles placement)."""
+    replicated in_shardings handles placement). With `_init_state`'s
+    sharded init this is a no-op re-put for already-sharded leaves."""
     if param_sharding == "fsdp" and mesh is not None:
         from rdm_tpu.parallel.mesh import shard_train_state
         return shard_train_state(state, mesh)
     return state
+
+
+def _init_state(make, rng, mesh, param_sharding: str) -> "TrainState":
+    """Build the initial train state. In FSDP mode the WHOLE init
+    (model.init + optimizer + EMA copy) is jitted with FSDP
+    out_shardings so no full replica of params+moments+EMA ever
+    materializes on one chip — the very models the mode exists for
+    (state > 1 chip's HBM) would OOM in a replicated init. The sharded
+    state then also serves as the orbax restore target, which restores
+    shard-wise."""
+    if param_sharding == "fsdp" and mesh is not None:
+        from rdm_tpu.parallel.mesh import fsdp_shardings
+        shapes = jax.eval_shape(make, rng)
+        shardings = fsdp_shardings(shapes, mesh)
+        return jax.jit(make, out_shardings=shardings)(rng)
+    return jax.jit(make)(rng)
 
 
 @dataclasses.dataclass
@@ -155,11 +172,15 @@ class RDMTrainer:
     def init_state(self) -> TrainState:
         cfg = self.cfg
         x = jnp.zeros((1, cfg.image_size, cfg.image_size, cfg.channels))
-        params = jax.jit(self.model.init)(
-            jax.random.PRNGKey(self.tcfg.seed), x,
-            jnp.zeros((1,), jnp.int32),
-            jnp.zeros((1, cfg.k_nn, cfg.context_dim)))
-        return init_train_state(params, self.tx)
+
+        def make(rng):
+            params = self.model.init(
+                rng, x, jnp.zeros((1,), jnp.int32),
+                jnp.zeros((1, cfg.k_nn, cfg.context_dim)))
+            return init_train_state(params, self.tx)
+
+        return _init_state(make, jax.random.PRNGKey(self.tcfg.seed),
+                           self.mesh, self.tcfg.param_sharding)
 
     def resume_or_init(self) -> TrainState:
         state = self.init_state()
@@ -350,11 +371,14 @@ class RARMTrainer:
         self._tb = None
 
     def init_state(self) -> TrainState:
-        params = jax.jit(self.model.init)(
-            jax.random.PRNGKey(self.tcfg.seed),
-            jnp.zeros((1, 4), jnp.int32),
-            jnp.zeros((1, self.cfg.seq_len, self.cfg.context_dim)))
-        return init_train_state(params, self.tx)
+        def make(rng):
+            params = self.model.init(
+                rng, jnp.zeros((1, 4), jnp.int32),
+                jnp.zeros((1, self.cfg.seq_len, self.cfg.context_dim)))
+            return init_train_state(params, self.tx)
+
+        return _init_state(make, jax.random.PRNGKey(self.tcfg.seed),
+                           self.mesh, self.tcfg.param_sharding)
 
     def resume_or_init(self) -> TrainState:
         state = self.init_state()

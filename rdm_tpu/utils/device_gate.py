@@ -66,8 +66,13 @@ def _backend_already_up() -> bool:
             return plats.split(",")[0] in xla_bridge._backends
         if any(p != "cpu" for p in xla_bridge._backends):
             return True  # a real accelerator is up
-        # cpu-only cache: fine only if cpu is the only registered platform
-        factories = getattr(xla_bridge, "_backend_factories", {})
+        # cpu-only cache: fine only if cpu is the only registered
+        # platform. Fail CLOSED if the private attr disappears in a jax
+        # upgrade — falling through to the subprocess probe is just
+        # slower, while waving a TPU bench into an outage loses the run.
+        factories = getattr(xla_bridge, "_backend_factories", None)
+        if factories is None:
+            return False
         return set(factories) <= {"cpu"}
     except Exception:
         return False

@@ -37,7 +37,9 @@ for entry in $MODELS; do
     echo "FAILED: $url (re-run to resume, or fetch manually)" >&2
     fail=1
   fi
-  if [ ! -f "$dest/config.yaml" ]; then
+  # install the config only beside a real checkpoint — a config.yaml
+  # alone would make the dir look initialized to from_model_dir users
+  if [ -f "$dest/model.ckpt" ] && [ ! -f "$dest/config.yaml" ]; then
     cp "$cfg" "$dest/config.yaml" || fail=1
   fi
 done
