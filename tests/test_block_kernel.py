@@ -155,3 +155,19 @@ def test_fused_block_larger_seq():
     got = fused.apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+@pytest.mark.parametrize("heads,head_dim,s_ctx,ctx_dim", [
+    (8, 16, 1, 16),    # 8 heads per lane group, single retrieval token
+    (4, 128, 4, 32),   # head_dim == full lane width (1 head per group)
+    (12, 32, 5, 24),   # Cp = 384 exact multiple, odd context length
+])
+def test_fused_block_shape_edges(heads, head_dim, s_ctx, ctx_dim):
+    ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=ctx_dim, b=2, s=16,
+                              s_ctx=s_ctx, dtype=jnp.float32, seed=5)
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  dtype=jnp.float32, interpret=True)
+    want = ref.apply(params, x, ctx)
+    got = fused.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
