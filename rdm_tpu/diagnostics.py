@@ -55,6 +55,9 @@ def log_images(
     guidance_scale: float = 1.0,
     diffusion_row_steps: int = 6,
     with_denoise_row: bool = True,
+    with_progressive_row: bool = False,
+    with_inpaint: bool = True,
+    with_x0_quantized: bool = True,
 ) -> Dict[str, np.ndarray]:
     """batch: {'image' [B,H,W,3] in [-1,1], 'nn_embeddings' [B,n,k,D]}.
     Returns named uint8 grids."""
@@ -106,6 +109,62 @@ def log_images(
         row = [to_uint8(decode(interm[i][:1]))[0]
                for i in range(interm.shape[0])]
         out["denoise_row"] = make_grid(np.stack(row), len(row))
+
+    # quantize-denoised samples (reference log_images
+    # quantize_denoised=True -> "samples_x0_quantized", ddpm.py:567-575):
+    # pred-x0 snapped to the VQ codebook each DDIM step. The diffusion
+    # latent is scale_factor * prequant, so unscale around the lookup.
+    if with_x0_quantized:
+        qfn = lambda x0: cfg.scale_factor * first_stage.apply(
+            first_stage_params, x0 / cfg.scale_factor,
+            method=VQModel.quantize_latent)
+        rng, sub = jax.random.split(rng)
+        z_q, _ = ddim_sample(
+            lambda x, t, c: model.apply(params, x, t, c),
+            schedule, sampler,
+            (context.shape[0], cfg.image_size, cfg.image_size,
+             cfg.channels),
+            context, sub, uncond_context=uncond, quantize_fn=qfn)
+        out["samples_x0_quantized"] = make_grid(to_uint8(decode(z_q)),
+                                                n_row)
+
+    # inpaint/outpaint grids (reference ddpm.py:578-597): keep the
+    # latent where mask==1, regenerate the center hole (inpaint) or its
+    # complement (outpaint — the reference's outpaint block reuses the
+    # inpaint mask verbatim, an apparent upstream copy-paste slip; the
+    # inverted mask is what outpainting means)
+    if with_inpaint:
+        hh = ww = cfg.image_size
+        mask = np.ones((z.shape[0], hh, ww, 1), np.float32)
+        mask[:, hh // 4:3 * hh // 4, ww // 4:3 * ww // 4, :] = 0.0
+        mask = jnp.asarray(mask)
+        for name, m in (("samples_inpainting", mask),
+                        ("samples_outpainting", 1.0 - mask)):
+            rng, sub = jax.random.split(rng)
+            z_m, _ = ddim_sample(
+                lambda x, t, c: model.apply(params, x, t, c),
+                schedule, sampler,
+                (context.shape[0], hh, ww, cfg.channels),
+                context, sub, uncond_context=uncond, mask=m, x0=z)
+            out[name] = make_grid(to_uint8(decode(z_m)), n_row)
+        out["mask"] = make_grid(to_uint8(
+            np.tile(np.asarray(mask) * 2.0 - 1.0, (1, 1, 1, 3))), n_row)
+
+    # progressive row: pred-x0 along the full-T ANCESTRAL trajectory for
+    # one image (reference progressive_denoising, ddpm.py:599-605) —
+    # expensive (T model calls), off by default
+    if with_progressive_row:
+        from rdm_tpu.sampling import ddpm_sample
+
+        rng, sub = jax.random.split(rng)
+        every = max(cfg.timesteps // diffusion_row_steps, 1)
+        _, prog = ddpm_sample(
+            lambda x, t, c: model.apply(params, x, t, c),
+            schedule,
+            (1, cfg.image_size, cfg.image_size, cfg.channels),
+            context[:1], sub, log_every_t=every)
+        row = [to_uint8(decode(prog[i]))[0] for i in range(prog.shape[0])]
+        out["progressive_row"] = make_grid(np.stack(row), len(row))
     return out
 
 

@@ -293,6 +293,13 @@ class VQModel(nn.Module):
         return self.decoder(self.post_quant_conv(z),
                             deterministic=deterministic)
 
+    def quantize_latent(self, z, *, deterministic: bool = True):
+        """Codebook projection of a pre-quant latent [B,H,W,embed_dim]
+        (the reference DDIM's quantize_denoised hook,
+        ddim.py:260-261 via first_stage_model.quantize)."""
+        z_q, _, _ = self.quantize(z)
+        return z_q
+
     def decode_code(self, idx, *, deterministic: bool = True):
         """idx: [B, H, W] int token grid → image."""
         z_q = self.quantize.lookup(idx)

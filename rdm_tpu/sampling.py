@@ -294,25 +294,40 @@ def ddpm_sample(
     *,
     clip_denoised: bool = True,
     x_init: Optional[jnp.ndarray] = None,
-) -> jnp.ndarray:
+    log_every_t: int = 0,
+):
     """Full-length ancestral DDPM sampling (the ldm `p_sample_loop` the
     reference inherits; used by log_images when ddim=False). One lax.scan
-    over all T steps; posterior mean/variance from the schedule tables."""
+    over all T steps; posterior mean/variance from the schedule tables.
+
+    log_every_t > 0 captures the pred-x0 every that many steps (the
+    reference's `progressive_denoising`, ddpm.py:599-605) into a
+    preallocated buffer written with dynamic_update_slice — returns
+    (x, captures [ceil(T/log_every_t), *shape]). 0 returns just x."""
     from rdm_tpu.ops.schedules import predict_start_from_noise
 
     rng, init_rng = jax.random.split(rng)
     x = (x_init if x_init is not None
          else jax.random.normal(init_rng, shape, dtype=jnp.float32))
     T = schedule.num_timesteps
+    n_cap = -(-T // log_every_t) if log_every_t > 0 else 0
+    caps = jnp.zeros((max(n_cap, 1),) + tuple(shape), jnp.float32)
 
     def body(carry, step):
-        x, rng = carry
+        x, caps, rng = carry
         t_scalar = T - 1 - step
         t = jnp.full((shape[0],), t_scalar, dtype=jnp.int32)
         eps = denoise_fn(x, t, context).astype(jnp.float32)
         x0 = predict_start_from_noise(schedule, x, t, eps)
         if clip_denoised:
             x0 = jnp.clip(x0, -1.0, 1.0)
+        if n_cap:
+            caps = jax.lax.cond(
+                step % log_every_t == 0,
+                lambda c: jax.lax.dynamic_update_slice(
+                    c, x0[None], (step // log_every_t,)
+                    + (0,) * len(shape)),
+                lambda c: c, caps)
         shape1 = (-1,) + (1,) * (x.ndim - 1)
         mean = (jnp.take(schedule.posterior_mean_coef1, t).reshape(shape1)
                 * x0
@@ -324,8 +339,10 @@ def ddpm_sample(
         noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
         nonzero = (t_scalar > 0).astype(jnp.float32)
         x = mean + nonzero * jnp.exp(0.5 * logvar) * noise
-        return (x, rng), None
+        return (x, caps, rng), None
 
-    (x, _), _ = jax.lax.scan(body, (x, rng),
-                             jnp.arange(T, dtype=jnp.int32))
+    (x, caps, _), _ = jax.lax.scan(body, (x, caps, rng),
+                                   jnp.arange(T, dtype=jnp.int32))
+    if n_cap:
+        return x, caps
     return x

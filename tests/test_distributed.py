@@ -62,9 +62,11 @@ def test_rdm_log_images_grids():
                        DiffusionSchedule.create(20, "linear", 0.0015,
                                                 0.0195),
                        batch, jax.random.PRNGKey(2), ddim_steps=3,
-                       diffusion_row_steps=3)
+                       diffusion_row_steps=3, with_progressive_row=True)
     assert {"inputs", "reconstruction", "diffusion_row",
-            "samples", "denoise_row"} <= set(grids)
+            "samples", "denoise_row", "progressive_row",
+            "samples_inpainting", "samples_outpainting",
+            "mask", "samples_x0_quantized"} <= set(grids)
     for g in grids.values():
         assert g.dtype == np.uint8 and g.ndim == 3
     # grid geometry

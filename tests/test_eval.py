@@ -64,3 +64,45 @@ def test_evaluate_features_dict():
                             rng.standard_normal((200, 4)))
     assert set(out) >= {"fid", "precision", "recall"}
     assert out["n_real"] == 300 and out["n_generated"] == 200
+
+
+def test_evaluate_cli_end_to_end(tmp_path):
+    # full CLI path: two PNG dirs -> features -> FID/P/R JSON, via the
+    # --embedder escape hatch (a 48-d mean/std pooling embedder)
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    for d in ("real", "gen"):
+        (tmp_path / d).mkdir()
+        for i in range(6):
+            Image.fromarray(rng.integers(0, 255, (40, 40, 3),
+                                         dtype=np.uint8)).save(
+                tmp_path / d / f"{i}.png")
+    emb = tmp_path / "toy_embedder.py"
+    emb.write_text(
+        "import numpy as np\n"
+        "def embed(batch):\n"
+        "    x = np.asarray(batch, np.float32).reshape(len(batch), -1)\n"
+        "    k = x.shape[1] // 24\n"
+        "    x = x[:, :24 * k].reshape(len(batch), 24, -1)\n"
+        "    return np.concatenate([x.mean(-1), x.std(-1)], axis=1)\n")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts", "evaluate.py"),
+         "--real", str(tmp_path / "real"),
+         "--generated", str(tmp_path / "gen"),
+         "--embedder", "toy_embedder:embed", "--size", "32",
+         "--nhood", "2", "--batch_size", "4",
+         "--out", str(tmp_path / "m.json")],
+        env={**os.environ, "PYTHONPATH": f"{str(tmp_path)}:{repo}",
+             "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr
+    metrics = json.loads((tmp_path / "m.json").read_text())
+    assert {"fid", "precision", "recall"} <= set(metrics)
+    assert all(np.isfinite(v) for v in metrics.values())

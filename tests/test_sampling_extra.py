@@ -175,3 +175,19 @@ def test_snr_gated_context_swap_and_random_guiding():
     with pytest.raises(ValueError):
         ddim_sample(denoise, schedule, cfg, shape, base,
                     jax.random.PRNGKey(0), random_guiding="bogus")
+
+
+def test_ddpm_progressive_captures():
+    # log_every_t captures pred-x0 along the ancestral trajectory
+    # (reference progressive_denoising); captures are finite, ordered
+    # high-noise -> clean, and the final state matches the plain call
+    schedule = DiffusionSchedule.create(20, "linear", 0.0015, 0.0195)
+    denoise = lambda x, t, c: 0.1 * x
+    out, caps = ddpm_sample(denoise, schedule, (2, 4, 4, 1), None,
+                            jax.random.PRNGKey(0), log_every_t=7)
+    assert caps.shape == (3, 2, 4, 4, 1)  # ceil(20/7)
+    assert np.isfinite(np.asarray(caps)).all()
+    plain = ddpm_sample(denoise, schedule, (2, 4, 4, 1), None,
+                        jax.random.PRNGKey(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(plain),
+                               rtol=1e-6)
