@@ -53,6 +53,9 @@ jax.config.update("jax_compilation_cache_dir", _cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+_LAST_GOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".bench_last_good.json")
+
 BATCH = int(os.environ.get("BENCH_BATCH", 16))
 # "shared" runs the context-independent U-Net prefix once per CFG pair
 # (exact same math as the reference's batch doubling — parity-tested;
@@ -156,6 +159,16 @@ def main():
     from rdm_tpu.utils.device_gate import wait_for_backend
     gate = wait_for_backend()
     if not gate["ok"]:
+        # attach the most recent NON-degraded capture (written by every
+        # successful run below) so an outage at capture time still
+        # records what the machine measured last — clearly labeled, the
+        # headline value stays null
+        last_good = None
+        try:
+            with open(_LAST_GOOD_PATH) as f:
+                last_good = json.load(f)
+        except (OSError, ValueError):
+            pass
         print(json.dumps({
             "metric": "rdm_ddim50_256px_images_per_sec_per_chip",
             "value": None,
@@ -165,6 +178,7 @@ def main():
             "error": "tpu backend unavailable",
             "backend_wait_s": gate["waited_s"],
             "backend_attempts": gate["attempts"],
+            "last_good": last_good,
         }))
         return
     if gate["attempts"] > 1:
@@ -347,7 +361,7 @@ def main():
         vs_baseline = float("nan")
         flops_source = "unavailable"
 
-    print(json.dumps({
+    line = {
         "metric": "rdm_ddim50_256px_images_per_sec_per_chip",
         "value": round(imgs_per_sec, 4),
         "unit": "images/sec",
@@ -358,7 +372,15 @@ def main():
         "degraded": degraded,
         "flops_source": flops_source,
         "compile_s": round(compile_s, 1),
-    }))
+    }
+    print(json.dumps(line))
+    if not degraded:
+        try:
+            with open(_LAST_GOOD_PATH, "w") as f:
+                json.dump({**line, "measured_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}, f)
+        except OSError:
+            pass
 
 
 if __name__ == "__main__":

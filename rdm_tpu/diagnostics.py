@@ -179,11 +179,14 @@ def log_images_rarm(
     n_row: int = 4,
     max_images: int = 4,
     top_k: int = 256,
+    masking_probs: tuple = (),
 ) -> Dict[str, np.ndarray]:
     """RARM visual diagnostics — the reference's full/half/reconstruction
     grids (transformer.py:422-519): inputs, first-stage reconstruction,
-    full samples from scratch, and half samples (the top half of the
-    ground-truth token grid kept, bottom half regenerated).
+    full samples from scratch, half samples (the top half of the
+    ground-truth token grid kept, bottom half regenerated), and — when
+    `masking_probs` is non-empty (reference default [0.5, 1.0]) —
+    samples with the retro conditioning mask-token-dropped at each p.
     """
     from rdm_tpu.models.autoencoder import VQModel
     from rdm_tpu.models.rarm import RARM, sample_tokens, top_k_filter
@@ -241,4 +244,20 @@ def log_images_rarm(
     half = jnp.concatenate(gen, axis=1)
     out["samples_half"] = make_grid(
         to_uint8(decode_code(half.reshape(b, side, side))), n_row)
+
+    # masked-neighbor samples (reference p_sample grids,
+    # transformer.py:463-472): each retro-conditioning element replaced
+    # by the mask token with prob p — p_mask_max is prepended when the
+    # model trains with masking, mirroring the reference's list fixup
+    probs = list(masking_probs)
+    if cfg.p_mask_max and probs and probs[0] >= cfg.p_mask_max:
+        probs = [cfg.p_mask_max] + probs
+    for p in probs:
+        rng, rm, rs = jax.random.split(rng, 3)
+        r_masked = jnp.where(
+            jax.random.bernoulli(rm, p, nns.shape),
+            jnp.float32(cfg.mask_token), nns)
+        toks_p = sample_tokens(model, params, r_masked, rs, top_k=top_k)
+        out[f"samples_full_p_{p:.2f}"] = make_grid(
+            to_uint8(decode_code(toks_p.reshape(b, side, side))), n_row)
     return out

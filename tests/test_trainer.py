@@ -164,9 +164,10 @@ def test_rarm_log_images(workspace, tmp_path):
                         jnp.zeros((1, 4), jnp.int32),
                         jnp.zeros((1, 2, 16)))
     grids = log_images_rarm(model, params, fs, fs_params, batch,
-                            jax.random.PRNGKey(2), top_k=8)
+                            jax.random.PRNGKey(2), top_k=8,
+                            masking_probs=(1.0,))
     assert set(grids) == {"inputs", "reconstruction", "samples_full",
-                          "samples_half"}
+                          "samples_half", "samples_full_p_1.00"}
     for g in grids.values():
         assert g.dtype == np.uint8 and g.ndim == 3
 
