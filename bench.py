@@ -62,6 +62,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 16))
 # measured 5.26 vs 5.10 img/s) and is the RDMPipeline default; "double"
 # is the reference-shaped path (ddim.py:229-238).
 CFG_MODE = os.environ.get("BENCH_CFG_MODE", "shared")
+# >1 measures the APPROXIMATE encoder-reuse serving mode (never the
+# headline: the recorded-FLOPs key below stays the exact op point)
+ENCODER_REUSE = int(os.environ.get("BENCH_ENCODER_REUSE", 1))
 DDIM_STEPS = 50
 K_NN = 4
 GUIDANCE = 2.0
@@ -216,7 +219,8 @@ def main():
         cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
     sampler = DDIMSamplerConfig(num_steps=DDIM_STEPS,
                                 guidance_scale=GUIDANCE,
-                                cfg_mode=CFG_MODE)
+                                cfg_mode=CFG_MODE,
+                                encoder_reuse=ENCODER_REUSE)
 
     # synthetic CLIP database generated ON DEVICE (host RNG for 656M values
     # takes minutes on a weak core; compute cost is identical either way)
@@ -343,6 +347,8 @@ def main():
             print(f"# cost analysis attempt {attempt + 1} failed: {e}",
                   flush=True)
     op_point = (BATCH, DDIM_STEPS, K_NN, GUIDANCE, CFG_MODE)
+    if ENCODER_REUSE != 1:
+        op_point = None  # recorded constants are for the exact op point
     if flops_per_img is None and op_point in RECORDED_FLOPS:
         # recorded constants keyed on the FULL op point so a non-default
         # configuration can never silently reuse them (advisor fix)

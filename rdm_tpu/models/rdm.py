@@ -130,7 +130,8 @@ class RDM(nn.Module):
                                    dtype=jnp.float32)
 
     def __call__(self, x, t, context, y=None, concat=None, *,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 encoder_cache=None, return_cache: bool = False):
         """eps-prediction forward, routed by conditioning_key.
 
         context: [B, S, context_dim] or None (cross-attention paths);
@@ -152,7 +153,9 @@ class RDM(nn.Module):
             if y is None:
                 raise ValueError("conditioning_key=adm requires labels y")
             context = None
-        return self.unet(x, t, context, y=y, deterministic=deterministic)
+        return self.unet(x, t, context, y=y, deterministic=deterministic,
+                         encoder_cache=encoder_cache,
+                         return_cache=return_cache)
 
     def encode_neighbors(self, neighbors: jnp.ndarray) -> jnp.ndarray:
         """Neighbors → cross-attention context [B, S, context_dim].
@@ -265,6 +268,25 @@ def make_denoise_fn(model: RDM, params, *, y=None, concat=None):
     return fn
 
 
+def make_denoise_feats_fn(model: RDM, params, *, y=None, concat=None):
+    """Encoder-reuse variant of make_denoise_fn:
+    (x, t, context, cache|None) -> (eps, cache). With cache=None the full
+    U-Net runs and returns fresh down-path features; otherwise only the
+    up path runs against the cached features (approximate — see
+    UNet.__call__ encoder_cache)."""
+
+    def fn(x, t, context, cache):
+        yy, cc = y, concat
+        if yy is not None and x.shape[0] == 2 * yy.shape[0]:
+            yy = jnp.concatenate([yy, yy], axis=0)
+        if cc is not None and x.shape[0] == 2 * cc.shape[0]:
+            cc = jnp.concatenate([cc, cc], axis=0)
+        return model.apply(params, x, t, context, y=yy, concat=cc,
+                           encoder_cache=cache, return_cache=True)
+
+    return fn
+
+
 def sample_with_neighbors(
     model: RDM,
     params,
@@ -298,7 +320,10 @@ def sample_with_neighbors(
         if sampler.guidance_scale != 1.0:
             raise ValueError("CFG needs a neighbor context")
     shape = (b, cfg.image_size, cfg.image_size, cfg.channels)
+    feats_fn = (make_denoise_feats_fn(model, params, y=y, concat=concat)
+                if sampler.encoder_reuse > 1 else None)
     x, _ = ddim_sample(
         make_denoise_fn(model, params, y=y, concat=concat), schedule,
-        sampler, shape, neighbors, rng, uncond_context=uncond)
+        sampler, shape, neighbors, rng, uncond_context=uncond,
+        denoise_feats_fn=feats_fn)
     return x / cfg.scale_factor

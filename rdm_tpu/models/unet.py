@@ -85,11 +85,20 @@ class UNet(nn.Module):
     @nn.compact
     def __call__(self, x, t, context=None, y=None, *,
                  deterministic: bool = True, return_features: bool = False,
-                 shared_cfg: Optional[bool] = None):
+                 shared_cfg: Optional[bool] = None,
+                 encoder_cache=None, return_cache: bool = False):
         """return_features=True skips the zero-init out head and returns
         the trunk features [B, H, W, model_channels] — the reference
         GITWrapper.unet_forward path (openaimodel.py:645-656), which feeds
         an id-predictor head instead of self.out.
+
+        encoder_cache/return_cache implement the encoder-reuse serving
+        mode ("Faster Diffusion", arXiv 2312.09608): return_cache=True
+        also returns `(skip_tuple, mid)` from the down path + middle;
+        passing that back as encoder_cache on a later step skips them
+        entirely and re-runs ONLY the up path with the current timestep
+        embedding. Approximate (the cached features belong to a nearby
+        x_t); opt-in, never used by training or the exact samplers.
 
         Shared-prefix CFG: when `context` has batch 2B while `x` has batch
         B, the two context halves are taken as the (cond, uncond) pair of
@@ -169,41 +178,58 @@ class UNet(nn.Module):
         def ckpt(a, d):
             return checkpoint_name(a, f"blk_ds{d}")
 
-        # ---- down path ----
-        h = conv(ch0, 3, self.dtype, name="conv_in")(x)
-        hs = [h]
-        ds = 1
-        ch = ch0
-        for level, mult in enumerate(cfg.channel_mult):
-            for i in range(cfg.num_res_blocks):
-                ch = mult * ch0
-                h = res(ch, f"down_{level}_{i}_res")(h, emb,
-                                                     deterministic=deterministic)
-                if ds in cfg.attention_resolutions:
-                    if not tiled:
-                        h, emb, tiled = tile2(h), tile2(emb), True
-                    h = attn(ch, f"down_{level}_{i}_attn")(
-                        h, context, deterministic=deterministic)
-                h = ckpt(h, ds)
-                hs.append(h)
-            if level != len(cfg.channel_mult) - 1:
-                if cfg.resblock_updown:
-                    h = res(ch, f"down_{level}_down", down=True)(
+        if encoder_cache is not None:
+            # encoder-reuse serving mode (Faster Diffusion, 2312.09608):
+            # skip the whole down path + middle and reuse the features
+            # cached on an earlier DDIM step; the up path still runs with
+            # the CURRENT timestep embedding and context. Approximate by
+            # construction — the skips/mid belong to a nearby x_t.
+            hs, h = list(encoder_cache[0]), encoder_cache[1]
+            ds = 2 ** (len(cfg.channel_mult) - 1)
+            ch = cfg.channel_mult[-1] * ch0
+            if h.shape[0] == 2 * x.shape[0] and not tiled:
+                emb, tiled = tile2(emb), True
+        else:
+            # ---- down path ----
+            h = conv(ch0, 3, self.dtype, name="conv_in")(x)
+            hs = [h]
+            ds = 1
+            ch = ch0
+            for level, mult in enumerate(cfg.channel_mult):
+                for i in range(cfg.num_res_blocks):
+                    ch = mult * ch0
+                    h = res(ch, f"down_{level}_{i}_res")(
                         h, emb, deterministic=deterministic)
-                else:
-                    h = Downsample(out_channels=ch, use_conv=cfg.conv_resample,
-                                   dtype=self.dtype, name=f"down_{level}_down")(h)
-                ds *= 2
-                h = ckpt(h, ds)
-                hs.append(h)
+                    if ds in cfg.attention_resolutions:
+                        if not tiled:
+                            h, emb, tiled = tile2(h), tile2(emb), True
+                        h = attn(ch, f"down_{level}_{i}_attn")(
+                            h, context, deterministic=deterministic)
+                    h = ckpt(h, ds)
+                    hs.append(h)
+                if level != len(cfg.channel_mult) - 1:
+                    if cfg.resblock_updown:
+                        h = res(ch, f"down_{level}_down", down=True)(
+                            h, emb, deterministic=deterministic)
+                    else:
+                        h = Downsample(out_channels=ch,
+                                       use_conv=cfg.conv_resample,
+                                       dtype=self.dtype,
+                                       name=f"down_{level}_down")(h)
+                    ds *= 2
+                    h = ckpt(h, ds)
+                    hs.append(h)
 
-        # ---- middle ----
-        h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
-        if not tiled:  # no attention in the down path at all
-            h, emb, tiled = tile2(h), tile2(emb), True
-        h = attn(ch, "mid_attn")(h, context, deterministic=deterministic)
-        h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
-        h = ckpt(h, ds)
+            # ---- middle ----
+            h = res(ch, "mid_res1")(h, emb, deterministic=deterministic)
+            if not tiled:  # no attention in the down path at all
+                h, emb, tiled = tile2(h), tile2(emb), True
+            h = attn(ch, "mid_attn")(h, context,
+                                     deterministic=deterministic)
+            h = res(ch, "mid_res2")(h, emb, deterministic=deterministic)
+            h = ckpt(h, ds)
+
+        feats = (tuple(hs), h)
 
         # ---- up path ----
         for level, mult in reversed(list(enumerate(cfg.channel_mult))):
@@ -235,7 +261,10 @@ class UNet(nn.Module):
         h = nn.silu(GroupNorm32(name="out_norm")(h))
         h = conv(cfg.out_channels, 3, self.dtype, zero_init=True,
                  name="out_conv")(h)
-        return h.astype(jnp.float32)
+        out = h.astype(jnp.float32)
+        if return_cache:
+            return out, feats
+        return out
 
 
 class EncoderUNet(nn.Module):

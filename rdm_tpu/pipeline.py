@@ -235,7 +235,8 @@ class RDMPipeline:
             steps: int = 100, guidance_scale: float = 2.0,
             memsize=0.01, use_weights: bool = False,
             qids: Optional[np.ndarray] = None, seed: int = 0,
-            return_nns: bool = False) -> Dict[str, Any]:
+            return_nns: bool = False,
+            encoder_reuse: int = 1) -> Dict[str, Any]:
         """sample_from_rdata equivalent (ddpm.py:877-984)."""
         if self.retrieval is None:
             raise ValueError("unconditional sampling requires a database")
@@ -245,7 +246,8 @@ class RDMPipeline:
             batch_size, memsize, use_weights, rng, qids=qids)
         found = self.retrieval.engine.search(jnp.asarray(q_emb), k=k_nn)
         neighbors = jnp.asarray(found["embeddings"], dtype=jnp.float32)
-        images = self._run_ddim(neighbors, steps, guidance_scale, seed)
+        images = self._run_ddim(neighbors, steps, guidance_scale, seed,
+                                encoder_reuse)
         out = {"samples_with_sampled_nns": images}
         if return_nns:
             out["nn_embeddings"] = np.asarray(found["embeddings"])
@@ -399,16 +401,19 @@ class RDMPipeline:
         return {"retro_adaptive_samples": to_uint8(images)}
 
     def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
-                  guidance_scale: float, seed: int) -> np.ndarray:
+                  guidance_scale: float, seed: int,
+                  encoder_reuse: int = 1) -> np.ndarray:
         # runners are cached per static config: jit caches by function
         # identity, so rebuilding the closure every call would recompile
         # the whole DDIM program each time under a mesh
-        key = ("ddim", steps, guidance_scale, neighbors.shape[0])
+        key = ("ddim", steps, guidance_scale, neighbors.shape[0],
+               encoder_reuse)
         run = self._runners.get(key)
         if run is None:
             sampler = DDIMSamplerConfig(num_steps=steps,
                                         guidance_scale=guidance_scale,
-                                        cfg_mode="shared")
+                                        cfg_mode="shared",
+                                        encoder_reuse=encoder_reuse)
 
             # reference CLIs pass unconditional_retro_guidance_label=0.0:
             # the null context is the guidance vector scaled to norm zero

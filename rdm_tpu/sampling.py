@@ -40,6 +40,13 @@ class DDIMSamplerConfig:
     # shared-prefix CFG (UNet auto-detects the 2B context and runs the
     # context-independent prefix once; exact same math, fewer FLOPs).
     cfg_mode: str = "double"
+    # Encoder-reuse serving mode ("Faster Diffusion", arXiv 2312.09608):
+    # recompute the U-Net down path + middle only every `encoder_reuse`
+    # steps, re-running just the up path (with the current timestep
+    # embedding) in between. 1 = exact sampling (default). >1 is
+    # APPROXIMATE — cached features belong to a nearby x_t — and needs a
+    # `denoise_feats_fn` (rdm.make_denoise_feats_fn).
+    encoder_reuse: int = 1
 
 
 def ddim_sample(
@@ -58,6 +65,7 @@ def ddim_sample(
     style_context: Optional[jnp.ndarray] = None,
     content_context: Optional[jnp.ndarray] = None,
     random_guiding: str = "none",
+    denoise_feats_fn=None,
 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the full DDIM reverse process.
 
@@ -131,19 +139,31 @@ def ddim_sample(
                             content_context, ctx)
         return ctx
 
-    def eps_model(x, t, ctx, guider):
+    reuse = max(int(config.encoder_reuse), 1)
+    if reuse > 1 and denoise_feats_fn is None:
+        raise ValueError("encoder_reuse > 1 needs a denoise_feats_fn "
+                         "(see rdm.make_denoise_feats_fn)")
+
+    def dn(x_, t_, c_, cache):
+        # every CFG mode makes exactly ONE denoiser call per step, so the
+        # encoder cache threads through uniformly
+        if denoise_feats_fn is None:
+            return denoise_fn(x_, t_, c_), cache
+        return denoise_feats_fn(x_, t_, c_, cache)
+
+    def eps_model(x, t, ctx, guider, cache=None):
         if ctx is None:
-            return denoise_fn(x, t, None)
+            return dn(x, t, None, cache)
         if not use_cfg:
-            return denoise_fn(x, t, ctx)
+            return dn(x, t, ctx, cache)
         if guider is not None:
             # random guiding: the guider replaces the unconditional eps
-            eps_c = denoise_fn(x, t, ctx)
+            eps_c, cache = dn(x, t, ctx, cache)
             return guider + config.guidance_scale * (
-                eps_c.astype(jnp.float32) - guider)
+                eps_c.astype(jnp.float32) - guider), cache
         ctx2 = jnp.concatenate([ctx, uncond_context], axis=0)
         if config.cfg_mode == "shared":
-            eps2 = denoise_fn(x, t, ctx2)
+            eps2, cache = dn(x, t, ctx2, cache)
             if eps2.shape[0] != 2 * x.shape[0]:
                 # e.g. a conditioning_key='concat' model drops the
                 # cross-attention context before the U-Net, so the
@@ -155,15 +175,29 @@ def ddim_sample(
                     f"batch {2 * x.shape[0]} for a doubled context "
                     f"(got {eps2.shape[0]}); use cfg_mode='double'")
         else:
-            eps2 = denoise_fn(jnp.concatenate([x, x], axis=0),
-                              jnp.concatenate([t, t], axis=0), ctx2)
+            eps2, cache = dn(jnp.concatenate([x, x], axis=0),
+                             jnp.concatenate([t, t], axis=0), ctx2, cache)
         eps_c, eps_u = jnp.split(eps2, 2, axis=0)
-        return eps_u + config.guidance_scale * (eps_c - eps_u)
+        return eps_u + config.guidance_scale * (eps_c - eps_u), cache
 
     steps = ddim.num_steps
 
+    cache0 = None
+    if reuse > 1:
+        # zero-filled cache pytree of the right shapes; step 0 refreshes
+        t_ex = jnp.full((shape[0],), ddim.timesteps[steps - 1],
+                        dtype=jnp.int32)
+        cache_shapes = jax.eval_shape(
+            lambda xx: eps_model(xx, t_ex, step_context(steps - 1),
+                                 fixed_guider, None)[1], x)
+        cache0 = jax.tree.map(lambda l: jnp.zeros(l.shape, l.dtype),
+                              cache_shapes)
+
     def body(carry, step):
-        x, rng = carry
+        if reuse > 1:
+            x, cache, rng = carry
+        else:
+            x, rng = carry
         index = steps - 1 - step  # descending through the tables
         t = jnp.full((shape[0],), ddim.timesteps[index], dtype=jnp.int32)
         guider = fixed_guider
@@ -171,7 +205,15 @@ def ddim_sample(
             rng, grng = jax.random.split(rng)
             guider = jnp.clip(jax.random.normal(grng, shape, jnp.float32),
                               -1.0, 1.0)
-        eps = eps_model(x, t, step_context(index), guider)
+        sc = step_context(index)
+        if reuse > 1:
+            eps, cache = jax.lax.cond(
+                step % reuse == 0,
+                lambda c: eps_model(x, t, sc, guider, None),
+                lambda c: eps_model(x, t, sc, guider, c),
+                cache)
+        else:
+            eps, _ = eps_model(x, t, sc, guider)
         rng, nrng, mrng = jax.random.split(rng, 3)
         noise = jax.random.normal(nrng, shape, dtype=jnp.float32)
         if quantize_fn is None:
@@ -210,10 +252,14 @@ def ddim_sample(
                                mask * noised + (1.0 - mask) * x_prev,
                                x_prev)
         out = pred_x0 if config.log_every_t else None
+        if reuse > 1:
+            return (x_prev, cache, rng), out
         return (x_prev, rng), out
 
-    (x, _), interm = jax.lax.scan(
-        body, (x, rng), jnp.arange(steps, dtype=jnp.int32))
+    carry0 = (x, cache0, rng) if reuse > 1 else (x, rng)
+    final, interm = jax.lax.scan(
+        body, carry0, jnp.arange(steps, dtype=jnp.int32))
+    x = final[0]
     if config.log_every_t:
         interm = interm[:: config.log_every_t]
     return x, interm

@@ -44,6 +44,10 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("--top_m", type=float, default=0.01)
     p.add_argument("--k_nn", type=int, default=4)
     p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--encoder_reuse", type=int, default=1,
+                   help="recompute the U-Net encoder only every N DDIM "
+                        "steps (Faster-Diffusion-style approximate "
+                        "acceleration; 1 = exact)")
     p.add_argument("-c", "--caption", type=str, default="")
     p.add_argument("--only_caption", action="store_true")
     p.add_argument("--omit_query", action="store_true")
@@ -113,7 +117,8 @@ def main() -> None:
                 opt.batch_size, k_nn=opt.k_nn, steps=opt.steps,
                 guidance_scale=guidance, memsize=opt.top_m,
                 use_weights=opt.use_weights, qids=qids, seed=seed,
-                return_nns=opt.save_nns)
+                return_nns=opt.save_nns,
+                encoder_reuse=opt.encoder_reuse)
         else:
             logs = pipe.sample_with_query(
                 query, k_nn=opt.k_nn if not opt.only_caption else 1,
