@@ -127,3 +127,30 @@ def test_encoder_reuse_needs_feats_fn():
         ddim_sample(lambda x, t, c: x, schedule,
                     DDIMSamplerConfig(num_steps=4, encoder_reuse=2),
                     (1, 8, 8, 2), None, jax.random.PRNGKey(0))
+
+
+def test_encoder_reuse_under_dp_mesh():
+    # the cache pytree rides the DDIM scan carry under a DP-sharded jit
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rdm_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(data=4, db=2)
+    cfg = _tiny()
+    model = RDM(cfg)
+    b = 8
+    nns = jax.random.normal(jax.random.PRNGKey(3), (b, 1, 2, 8))
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((b, 8, 8, 2)),
+                        jnp.zeros((b,), jnp.int32), jnp.zeros((b, 2, 8)))
+    schedule = DiffusionSchedule.create(cfg.timesteps, "linear", 0.0015,
+                                        0.0195)
+    sampler = DDIMSamplerConfig(num_steps=4, guidance_scale=2.0,
+                                cfg_mode="shared", encoder_reuse=2)
+    repl = NamedSharding(mesh, P())
+    bs = NamedSharding(mesh, P("data"))
+    run = jax.jit(lambda p, n, r: sample_with_neighbors(
+        model, p, n, schedule, sampler, r, guidance_label=0.0),
+        in_shardings=(repl, bs, repl), out_shardings=bs)
+    z = run(params, jax.device_put(nns, bs), jax.random.PRNGKey(5))
+    assert z.shape == (b, 8, 8, 2)
+    assert np.isfinite(np.asarray(z)).all()
