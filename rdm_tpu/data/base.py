@@ -479,6 +479,22 @@ def dict_collation_fn(samples: Sequence[Dict[str, Any]]
     return out
 
 
+def propagate_epoch(ds, epoch: int, _seen=None) -> None:
+    """Call set_epoch(epoch) on a dataset AND everything it wraps
+    (.data / .dataset / .datasets chains), cycle-safe."""
+    seen = _seen if _seen is not None else set()
+    while ds is not None and id(ds) not in seen:
+        seen.add(id(ds))
+        fn = getattr(ds, "set_epoch", None)
+        if callable(fn):
+            fn(int(epoch))
+        subs = getattr(ds, "datasets", None)
+        if isinstance(subs, (list, tuple)):
+            for sub in subs:
+                propagate_epoch(sub, epoch, seen)
+        ds = getattr(ds, "data", None) or getattr(ds, "dataset", None)
+
+
 class DataLoader:
     """Minimal batching iterator: shuffling, drop_last, numpy collation.
 
@@ -507,10 +523,13 @@ class DataLoader:
     def __iter__(self):
         # per-epoch augmentation: datasets exposing set_epoch fold the
         # pass number into their per-item RNG streams (openimages crops/
-        # degradations); forked torch workers inherit the value.
-        set_epoch = getattr(self.dataset, "set_epoch", None)
-        if set_epoch is not None:
-            set_epoch(self.epoch)
+        # degradations); forked torch workers inherit the value. The
+        # propagation WALKS wrapper chains (SubsetShard/QueryDataset/
+        # Patcher/Concat/Mix hold the augmenting dataset under
+        # .data/.datasets) — duck-typing only the outermost object would
+        # silently freeze augmentation whenever a sampler config or host
+        # shard wraps the dataset.
+        propagate_epoch(self.dataset, self.epoch)
         if self.num_workers > 0:
             try:
                 it = self._torch_iter()  # workers capture current epoch

@@ -31,26 +31,20 @@ from rdm_tpu.data.base import center_crop, load_image, smallest_max_size
 
 def _per_item_rng(seed: int, index: int,
                   epoch: int = 0) -> np.random.Generator:
-    """Crop/degradation RNG derived from (seed, epoch, worker id, index).
+    """Crop/degradation RNG derived from (seed, epoch, sample index).
 
     A dataset-member Generator created in __init__ is inherited with
     identical state by every forked DataLoader worker, duplicating
-    augmentation sequences across workers (round-2 advisor). Folding the
-    worker id and sample index gives every item a distinct stream, and
-    folding the loader epoch (base.DataLoader calls `set_epoch` before
-    each pass; respawned workers inherit it) makes the augmentation vary
-    across epochs — without it, sample i draws the exact same crop and
-    degradation every epoch whenever num_workers <= 1.
+    augmentation sequences across workers (round-2 advisor). The sample
+    index alone already gives every item a distinct stream regardless of
+    which worker serves it — deliberately NO worker id in the key, so the
+    augmentation sequence is identical at any num_workers (reproducible
+    across loader configs). Folding the loader epoch (base.DataLoader
+    propagates `set_epoch` through wrapper chains before each pass;
+    respawned workers inherit it) makes the augmentation vary across
+    epochs.
     """
-    wid = 0
-    try:
-        import torch.utils.data as tud
-        info = tud.get_worker_info()
-        if info is not None:
-            wid = info.id
-    except Exception:
-        pass
-    return np.random.default_rng((seed, epoch, wid, index))
+    return np.random.default_rng((seed, epoch, index))
 
 
 class FullOpenImagesBase:

@@ -114,6 +114,11 @@ def log_images(
     # quantize_denoised=True -> "samples_x0_quantized", ddpm.py:567-575):
     # pred-x0 snapped to the VQ codebook each DDIM step. The diffusion
     # latent is scale_factor * prequant, so unscale around the lookup.
+    # the extra chains below don't read intermediates — drop the
+    # denoise-row sampler's log_every_t so the scans skip the per-step
+    # pred-x0 capture buffers entirely
+    import dataclasses as _dc
+    sampler_plain = _dc.replace(sampler, log_every_t=0)
     if with_x0_quantized:
         qfn = lambda x0: cfg.scale_factor * first_stage.apply(
             first_stage_params, x0 / cfg.scale_factor,
@@ -121,7 +126,7 @@ def log_images(
         rng, sub = jax.random.split(rng)
         z_q, _ = ddim_sample(
             lambda x, t, c: model.apply(params, x, t, c),
-            schedule, sampler,
+            schedule, sampler_plain,
             (context.shape[0], cfg.image_size, cfg.image_size,
              cfg.channels),
             context, sub, uncond_context=uncond, quantize_fn=qfn)
@@ -143,7 +148,7 @@ def log_images(
             rng, sub = jax.random.split(rng)
             z_m, _ = ddim_sample(
                 lambda x, t, c: model.apply(params, x, t, c),
-                schedule, sampler,
+                schedule, sampler_plain,
                 (context.shape[0], hh, ww, cfg.channels),
                 context, sub, uncond_context=uncond, mask=m, x0=z)
             out[name] = make_grid(to_uint8(decode(z_m)), n_row)

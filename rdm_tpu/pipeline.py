@@ -258,7 +258,8 @@ class RDMPipeline:
             self, query_embeddings: np.ndarray, *,
             k_nn: Optional[int] = None, steps: int = 100,
             guidance_scale: float = 2.0, omit_query: bool = False,
-            only_query: bool = False, seed: int = 0) -> Dict[str, Any]:
+            only_query: bool = False, seed: int = 0,
+            encoder_reuse: int = 1) -> Dict[str, Any]:
         """sample_with_query equivalent (ddpm.py:688-844): query embedding
         becomes neighbor #0 unless omitted; only_query skips retrieval."""
         k_nn = k_nn or self.config.k_nn
@@ -277,7 +278,7 @@ class RDMPipeline:
                 neighbors = np.concatenate(
                     [q[:, None], r_emb[:, :k_nn - 1]], axis=1)
         images = self._run_ddim(jnp.asarray(neighbors), steps,
-                                guidance_scale, seed)
+                                guidance_scale, seed, encoder_reuse)
         return {"query_samples": images}
 
     def sample_with_caption(self, caption: str, batch_size: int,

@@ -184,12 +184,20 @@ def ddim_sample(
 
     cache0 = None
     if reuse > 1:
-        # zero-filled cache pytree of the right shapes; step 0 refreshes
+        # zero-filled cache pytree of the right shapes; step 0 refreshes.
+        # The shape probe must use the SAME guider shape the scan body
+        # will: "sampled" random guiding draws a per-step guider (single
+        # denoiser call at batch B), while guider=None takes the
+        # CFG-doubled path (cache at 2B) — probing with the wrong one
+        # makes the carried cache batch mismatch the body.
         t_ex = jnp.full((shape[0],), ddim.timesteps[steps - 1],
                         dtype=jnp.int32)
+        guider_ex = fixed_guider
+        if random_guiding == "sampled":
+            guider_ex = jnp.zeros(shape, jnp.float32)
         cache_shapes = jax.eval_shape(
             lambda xx: eps_model(xx, t_ex, step_context(steps - 1),
-                                 fixed_guider, None)[1], x)
+                                 guider_ex, None)[1], x)
         cache0 = jax.tree.map(lambda l: jnp.zeros(l.shape, l.dtype),
                               cache_shapes)
 

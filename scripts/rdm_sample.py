@@ -111,7 +111,8 @@ def main() -> None:
         if opt.unconditional:
             logs = pipe.sample_with_query(
                 query, steps=opt.steps, guidance_scale=1.0,
-                only_query=True, seed=seed)
+                only_query=True, seed=seed,
+                encoder_reuse=opt.encoder_reuse)
         elif query is None:
             logs = pipe.sample_unconditional(
                 opt.batch_size, k_nn=opt.k_nn, steps=opt.steps,
@@ -124,7 +125,8 @@ def main() -> None:
                 query, k_nn=opt.k_nn if not opt.only_caption else 1,
                 steps=opt.steps, guidance_scale=guidance,
                 omit_query=opt.omit_query and not opt.only_caption,
-                only_query=opt.only_caption, seed=seed)
+                only_query=opt.only_caption, seed=seed,
+                encoder_reuse=opt.encoder_reuse)
         if opt.save_nns and "nn_embeddings" in logs:
             np.savez(os.path.join(
                 opt.savepath, f"{stamp}-nns-run{n}.npz"),

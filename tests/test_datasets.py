@@ -308,3 +308,34 @@ def test_augmentation_varies_per_epoch(tmp_path):
     b1 = next(iter(loader))["LR_image"][0]
     np.testing.assert_array_equal(b0, e0)
     assert not np.array_equal(b0, b1)
+
+
+def test_epoch_propagates_through_wrappers(tmp_path):
+    # SubsetShard (sampler configs / host sharding) wraps the augmenting
+    # dataset; the loader's epoch must reach it through the chain
+    from PIL import Image
+
+    from rdm_tpu.data.base import DataLoader, SubsetShard, propagate_epoch
+    from rdm_tpu.data.openimages import SuperresOpenImagesTrain
+
+    root = tmp_path / "oi"
+    root.mkdir()
+    rng = np.random.default_rng(2)
+    Image.fromarray(rng.integers(0, 255, (80, 70, 3),
+                                 dtype=np.uint8)).save(root / "a.png")
+    (root / "train_filelist.txt").write_text("a.png")
+    inner = SuperresOpenImagesTrain(str(root), size=64, down_factor=4)
+    shard = SubsetShard(inner, rank=0, world_size=1)
+    e0 = shard[0]["LR_image"]
+    propagate_epoch(shard, 1)
+    assert inner._epoch == 1
+    assert not np.array_equal(shard[0]["LR_image"], e0)
+    # and the loader wires it automatically
+    propagate_epoch(shard, 0)
+    loader = DataLoader(shard, batch_size=1, shuffle=False,
+                        drop_last=False)
+    b0 = next(iter(loader))["LR_image"][0]
+    np.testing.assert_array_equal(b0, e0)
+    assert inner._epoch == 0
+    next(iter(loader))
+    assert inner._epoch == 1

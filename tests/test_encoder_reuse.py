@@ -154,3 +154,28 @@ def test_encoder_reuse_under_dp_mesh():
     z = run(params, jax.device_put(nns, bs), jax.random.PRNGKey(5))
     assert z.shape == (b, 8, 8, 2)
     assert np.isfinite(np.asarray(z)).all()
+
+
+def test_encoder_reuse_with_sampled_random_guiding():
+    # regression: the cache-shape probe must use the same guider shape
+    # as the scan body — "sampled" guiding takes the single-call path
+    # (cache at B), not the CFG-doubled one (2B)
+    cfg = _tiny()
+    model = RDM(cfg)
+    nns = jax.random.normal(jax.random.PRNGKey(3), (2, 1, 2, 8))
+    params = model.init(jax.random.PRNGKey(4), jnp.zeros((2, 8, 8, 2)),
+                        jnp.zeros((2,), jnp.int32), jnp.zeros((2, 2, 8)))
+    schedule = DiffusionSchedule.create(cfg.timesteps, "linear", 0.0015,
+                                        0.0195)
+    ctx = model.apply(params, nns, method=RDM.encode_neighbors)
+    uncond = model.apply(params, 2, ctx.shape[1], 0.0,
+                         method=RDM.uncond_context)
+    sampler = DDIMSamplerConfig(num_steps=4, guidance_scale=2.0,
+                                encoder_reuse=2)
+    z, _ = ddim_sample(
+        None, schedule, sampler, (2, 8, 8, 2), ctx,
+        jax.random.PRNGKey(6), uncond_context=uncond,
+        random_guiding="sampled",
+        denoise_feats_fn=make_denoise_feats_fn(model, params))
+    assert z.shape == (2, 8, 8, 2)
+    assert np.isfinite(np.asarray(z)).all()
