@@ -48,22 +48,24 @@ def test_fused_block_parity(heads, head_dim, dtype, tol, split_k3,
                                rtol=tol, atol=tol)
 
 
-@pytest.mark.parametrize("b,s", [
-    (8, 16),     # multi-image attention grid, nb=8
-    (2, 16),     # multi-image grid, nb=2 (b limits packing)
-    (3, 16),     # odd batch: no pow2 divisor -> nb=1 on the small-S path
-    (2, 512),    # row-tiled grid (s > 256), 512-row q tiles
+@pytest.mark.parametrize("b,s,dtype,tol", [
+    (8, 16, jnp.float32, 2e-5),   # multi-image attention grid, nb=8
+    (8, 16, jnp.bfloat16, 3e-2),  # nb=8 packing at the serving dtype
+    (2, 16, jnp.float32, 2e-5),   # multi-image grid, nb=2 (b limits)
+    (3, 16, jnp.float32, 2e-5),   # odd batch: no pow2 divisor -> nb=1
+    (2, 512, jnp.float32, 2e-5),  # row-tiled grid (s > 256)
 ])
-def test_attention_grid_variants(b, s):
+def test_attention_grid_variants(b, s, dtype, tol):
     heads, head_dim = 4, 32
     ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=b, s=s,
-                              s_ctx=4, dtype=jnp.float32, seed=3)
+                              s_ctx=4, dtype=dtype, seed=3)
     fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
-                                  dtype=jnp.float32, interpret=True)
+                                  dtype=dtype, interpret=True)
     want = ref.apply(params, x, ctx)
     got = fused.apply(params, x, ctx)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
 
 
 def test_split_k3_matches_single_kernel():
