@@ -39,6 +39,23 @@ np.asarray(jax.jit(lambda a: a @ a)(x))
 print(jax.devices()[0].platform)
 """
 
+# Health-thresholded probe: the tunnel has DEGRADED windows where it is
+# "up" (init + tiny ops complete) but device->host transfers crawl for
+# minutes (observed 2026-08-18: a 2048^2 matmul round trip took 50 s in a
+# window where the same probe normally completes in ~6 s incl. backend
+# init). A bench started in such a window wedges mid-capture, so callers
+# that are about to run a LONG capture should gate on executed-op wall
+# time, not mere availability. The timed section excludes backend init.
+_HEALTH_PROBE_SRC = """
+import time, jax, numpy as np, jax.numpy as jnp
+x = jnp.ones((2048, 2048), jnp.bfloat16)
+np.asarray(jax.jit(lambda a: (a @ a))(x)[0, 0])  # init + compile + warm
+t0 = time.monotonic()
+f = jax.jit(lambda a: jnp.tanh(a @ a))
+np.asarray(f(x)[0, 0])
+print(time.monotonic() - t0)
+"""
+
 
 def _backend_already_up() -> bool:
     """True if THIS process already holds the initialized jax backend it
@@ -88,10 +105,31 @@ def _subprocess_probe(timeout_s: float) -> bool:
         return False
 
 
+def _subprocess_health_probe(timeout_s: float,
+                             max_op_s: float) -> bool:
+    """True only if an executed matmul round trip (excl. init) beats
+    `max_op_s` — rejects degraded-but-up tunnel windows."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", _HEALTH_PROBE_SRC],
+            timeout=timeout_s, capture_output=True, text=True)
+        if r.returncode != 0:
+            return False
+        op_s = float(r.stdout.strip().splitlines()[-1])
+        if op_s > max_op_s:
+            print(f"# backend degraded: probe op {op_s:.2f}s > "
+                  f"{max_op_s:.2f}s", flush=True)
+            return False
+        return True
+    except (subprocess.TimeoutExpired, ValueError, IndexError):
+        return False
+
+
 def wait_for_backend(
     max_wait_s: Optional[float] = None,
     probe_timeout_s: float = 240.0,
     sleep_s: float = 120.0,
+    max_op_s: Optional[float] = None,
     _probe: Optional[Callable[[float], bool]] = None,
 ) -> Dict[str, Any]:
     """Block until the jax backend can execute, or the budget runs out.
@@ -99,12 +137,23 @@ def wait_for_backend(
     Returns {"ok", "attempts", "waited_s"}. `max_wait_s` defaults to
     env `BENCH_BACKEND_WAIT_S` (seconds, default 7200). `_probe` is a
     test seam; production uses the subprocess probe above.
+
+    `max_op_s` additionally requires an executed 2048^2-matmul round trip
+    (excluding backend init) to beat that wall time, so callers about to
+    start a long capture can wait out DEGRADED windows (tunnel up, but
+    transfers crawling — observed 50 s for the ~0.1 s-good-state probe),
+    not just total outages. Note: with `max_op_s` the in-process
+    fast-path is skipped — a cached backend says nothing about current
+    tunnel speed.
     """
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("BENCH_BACKEND_WAIT_S", 7200))
-    if _probe is None and _backend_already_up():
+    if _probe is None and max_op_s is None and _backend_already_up():
         return {"ok": True, "attempts": 0, "waited_s": 0.0}
-    probe = _probe or _subprocess_probe
+    if _probe is None and max_op_s is not None:
+        probe = lambda t: _subprocess_health_probe(t, max_op_s)
+    else:
+        probe = _probe or _subprocess_probe
     start = time.monotonic()
     attempts = 0
     while True:

@@ -96,13 +96,34 @@ def main():
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
     # device->host copy per run forces a true sync: block_until_ready has
-    # been observed to return early through the remote-dispatch tunnel
+    # been observed to return early through the remote-dispatch tunnel.
+    # >=3 independent windows, best reported (peak capability); one extra
+    # window retried per transient sag so a single tunnel hiccup doesn't
+    # poison the capture (same contract as bench.py).
     runs = 3
-    t0 = time.perf_counter()
-    for i in range(runs):
-        np.asarray(fn(params, neighbors, jax.random.PRNGKey(2 + i)))
-    dt = time.perf_counter() - t0
-    imgs_per_sec = opt.batch * runs / dt
+    windows = int(os.environ.get("BENCH_WINDOWS", 3))
+    max_extra = 2
+    trials = []
+
+    def time_window(w):
+        t0 = time.perf_counter()
+        for i in range(runs):
+            np.asarray(fn(params, neighbors,
+                          jax.random.PRNGKey(2 + w * runs + i)))
+        trials.append(round(opt.batch * runs / (time.perf_counter() - t0), 3))
+        print(f"# window {w + 1}: {trials[-1]} img/s", flush=True)
+
+    def best_n_spread():
+        top = sorted(trials, reverse=True)[:windows]
+        return round((max(top) - min(top)) / max(top), 4)
+
+    for w in range(windows):
+        time_window(w)
+    extra = 0
+    while best_n_spread() > 0.25 and extra < max_extra:
+        time_window(windows + extra)
+        extra += 1
+    imgs_per_sec = max(trials)
     tok_per_sec = imgs_per_sec * cfg.seq_len
     print(json.dumps({
         "metric": "rarm_ar256_images_per_sec_per_chip",
@@ -111,6 +132,8 @@ def main():
         "tokens_per_sec": round(tok_per_sec, 1),
         "batch": opt.batch,
         "cfg": opt.cfg,
+        "trials": trials,
+        "spread": best_n_spread(),
     }))
 
 

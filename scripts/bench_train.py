@@ -99,27 +99,51 @@ def main():
     np.asarray(metrics["loss"])
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
-    t0 = time.perf_counter()
-    if opt.pipelined:
-        # steady-state trainer shape: async dispatch runs ahead (the train
-        # loop keeps a host-side step counter, no per-step sync); one sync
-        # at the end amortizes the dispatch latency across all iters
-        for _ in range(opt.iters):
-            state, metrics = step(state, z, nns, key)
-        np.asarray(metrics["loss"])
-    else:
-        for _ in range(opt.iters):
-            state, metrics = step(state, z, nns, key)
-            np.asarray(metrics["loss"])  # forced sync per step
-    dt = (time.perf_counter() - t0) / opt.iters
+    # >=3 independent windows, best reported; extra windows retried on a
+    # transient sag so one tunnel hiccup doesn't poison the capture (same
+    # contract as bench.py).
+    windows = int(os.environ.get("BENCH_WINDOWS", 3))
+    trials = []
+
+    def time_window():
+        nonlocal state
+        t0 = time.perf_counter()
+        if opt.pipelined:
+            # steady-state trainer shape: async dispatch runs ahead (the
+            # train loop keeps a host-side step counter, no per-step
+            # sync); one sync at the end amortizes dispatch latency
+            for _ in range(opt.iters):
+                state, metrics = step(state, z, nns, key)
+            np.asarray(metrics["loss"])
+        else:
+            for _ in range(opt.iters):
+                state, metrics = step(state, z, nns, key)
+                np.asarray(metrics["loss"])  # forced sync per step
+        dt = (time.perf_counter() - t0) / opt.iters
+        trials.append(round(B / dt, 3))
+        print(f"# window {len(trials)}: {trials[-1]} samples/s", flush=True)
+
+    def best_n_spread():
+        top = sorted(trials, reverse=True)[:windows]
+        return round((max(top) - min(top)) / max(top), 4)
+
+    for _ in range(windows):
+        time_window()
+    extra = 0
+    while best_n_spread() > 0.25 and extra < 2:
+        time_window()
+        extra += 1
+    best = max(trials)
     print(json.dumps({
         "metric": "rdm_train_samples_per_sec_per_chip",
-        "value": round(B / dt, 3),
+        "value": best,
         "unit": "samples/sec",
-        "step_ms": round(dt * 1e3, 2),
+        "step_ms": round(B / best * 1e3, 2),
         "batch": B,
         "remat": opt.remat,
         "pipelined": opt.pipelined,
+        "trials": trials,
+        "spread": best_n_spread(),
     }))
 
 

@@ -61,6 +61,34 @@ def test_fast_path_is_platform_specific(monkeypatch):
     assert dg._backend_already_up()
 
 
+def test_health_threshold_skips_fast_path_and_gates_on_speed(monkeypatch):
+    # max_op_s must (a) bypass the in-process cached-backend fast path —
+    # a cached backend says nothing about current tunnel speed — and
+    # (b) reject windows where the executed-op probe is slower than the
+    # threshold.
+    from rdm_tpu.utils import device_gate as dg
+
+    # fast path would return attempts==0; with max_op_s we must probe
+    op_times = iter([9.9, 9.9, 0.1])  # two degraded windows, then healthy
+
+    def fake_health(timeout_s, max_op_s):
+        return next(op_times) <= max_op_s
+
+    monkeypatch.setattr(dg, "_subprocess_health_probe", fake_health)
+    out = dg.wait_for_backend(max_wait_s=10.0, sleep_s=0.0, max_op_s=2.0)
+    assert out["ok"] and out["attempts"] == 3
+
+
+def test_health_probe_parses_and_thresholds(monkeypatch):
+    # the real subprocess health probe on CPU: succeeds with a generous
+    # threshold, fails closed with an impossible one (op time > 0).
+    monkeypatch.setenv("PYTHONPATH", "")
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    from rdm_tpu.utils.device_gate import _subprocess_health_probe
+    assert _subprocess_health_probe(180.0, max_op_s=120.0)
+    assert not _subprocess_health_probe(180.0, max_op_s=0.0)
+
+
 def test_real_probe_succeeds_on_cpu(monkeypatch):
     # the production subprocess probe must pass in the CPU test env —
     # the gate only asserts "jax can execute", not "platform is tpu".
