@@ -297,6 +297,20 @@ def main():
     compile_s = time.perf_counter() - _c0
     print(f"compile+warmup done in {compile_s:.1f}s", flush=True)
 
+    # BENCH_PROFILE_DIR: trace ONE warm pipeline run and print the per-op
+    # device-time breakdown (utils.profiling.trace_op_breakdown). Runs on
+    # the exact headline path — standalone forward-only profile scripts
+    # have wedged through the tunnel where this pipeline runs fine.
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            img = pipeline_exe(params, vq_params, db_norm, q, key0)
+            np.asarray(img[0, 0, 0])
+        from rdm_tpu.utils.profiling import trace_op_breakdown
+        res = trace_op_breakdown(profile_dir, top=30)
+        print(f"# trace total_ms={res['total_ms']} -> {profile_dir}",
+              flush=True)
+
     # >=3 independent timed windows; report the BEST (peak capability).
     # a tiny device->host copy per run forces a true sync
     # (block_until_ready has been observed to return early through the
