@@ -45,14 +45,19 @@ print(jax.devices()[0].platform)
 # window where the same probe normally completes in ~6 s incl. backend
 # init). A bench started in such a window wedges mid-capture, so callers
 # that are about to run a LONG capture should gate on executed-op wall
-# time, not mere availability. The timed section excludes backend init.
+# time, not mere availability. The timed section excludes backend init
+# AND compilation: the tanh jit is warmed before t0 (a slow server-side
+# compile is not tunnel degradation), and the persistent compile cache is
+# wired via env so repeated probes hit it.
 _HEALTH_PROBE_SRC = """
-import time, jax, numpy as np, jax.numpy as jnp
+import os, time, jax, numpy as np, jax.numpy as jnp
+os.makedirs("/tmp/rdm_tpu_jax_cache", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/rdm_tpu_jax_cache")
 x = jnp.ones((2048, 2048), jnp.bfloat16)
-np.asarray(jax.jit(lambda a: (a @ a))(x)[0, 0])  # init + compile + warm
-t0 = time.monotonic()
 f = jax.jit(lambda a: jnp.tanh(a @ a))
-np.asarray(f(x)[0, 0])
+np.asarray(f(x)[0, 0])  # init + compile + warm
+t0 = time.monotonic()
+np.asarray(f(x)[0, 0])  # timed: execute + transfer only
 print(time.monotonic() - t0)
 """
 

@@ -124,7 +124,9 @@ def main():
         print(f"# window {len(trials)}: {trials[-1]} samples/s", flush=True)
 
     def best_n_spread():
-        top = sorted(trials, reverse=True)[:windows]
+        # top-2 minimum so BENCH_WINDOWS=1 can't zero out the retry loop
+        # and the degraded verdict (advisor fix)
+        top = sorted(trials, reverse=True)[:max(windows, 2)]
         return round((max(top) - min(top)) / max(top), 4)
 
     for _ in range(windows):
@@ -134,6 +136,20 @@ def main():
         time_window()
         extra += 1
     best = max(trials)
+
+    # MFU: XLA cost-analysis FLOPs of the compiled step (fwd + bwd + AdamW
+    # + EMA, CFG-free training forward) against the v5e bf16 peak. With
+    # remat the executed-FLOPs count includes the recomputation, so MFU is
+    # over EXECUTED work (same convention as bench.py serving MFU).
+    mfu = flops_per_sample = None
+    try:
+        step_flops = exe.cost_analysis()["flops"]
+        flops_per_sample = step_flops / B
+        mfu = best * flops_per_sample / 197e12
+        print(f"# flops/sample={flops_per_sample:.3e} v5e_mfu={mfu:.2%}",
+              flush=True)
+    except Exception as e:  # remote cost analysis can transiently drop
+        print(f"# cost analysis unavailable: {e}", flush=True)
     print(json.dumps({
         "metric": "rdm_train_samples_per_sec_per_chip",
         "value": best,
@@ -142,8 +158,12 @@ def main():
         "batch": B,
         "remat": opt.remat,
         "pipelined": opt.pipelined,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "flops_per_sample": flops_per_sample,
         "trials": trials,
         "spread": best_n_spread(),
+        "spread_all": round((max(trials) - min(trials)) / max(trials), 4),
+        "degraded": best_n_spread() > 0.25,
     }))
 
 

@@ -33,6 +33,12 @@ def parse_args() -> argparse.Namespace:
     p.add_argument("-bs", "--batch_size", type=int, default=4)
     p.add_argument("-n", "--n_runs", type=int, default=2)
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--increase_guidance", action="store_true",
+                   help="increase cfg scale by 1.0 after each run "
+                        "(reference scripts/rarm_sample.py:165-172)")
+    p.add_argument("--keep_qids", action="store_true",
+                   help="reuse the same retrieval query ids for every run "
+                        "(reference scripts/rarm_sample.py:173-178)")
     p.add_argument("--guidance_scale", type=float, default=1.0)
     p.add_argument("--top_m", type=float, default=100)
     p.add_argument("--k_nn", type=int, default=4)
@@ -93,27 +99,38 @@ def main() -> None:
         query = np.zeros((opt.batch_size, pipe.config.context_dim),
                          dtype=np.float32)
 
+    qids = None
+    if opt.keep_qids and query is None and pipe.retrieval is not None:
+        rng = np.random.default_rng(opt.seed)
+        qids = pipe.retrieval.memory.sample_qids(
+            opt.batch_size, memsize=opt.top_m, use_weights=opt.use_weights,
+            rng=rng) if pipe.retrieval.memory else rng.integers(
+            0, pipe.retrieval.engine.size, opt.batch_size)
+
+    guidance = opt.guidance_scale
     for n in range(opt.n_runs):
         seed = opt.seed if opt.seed is not None else n
         if query is None:
             logs = pipe.sample_unconditional(
                 opt.batch_size, k_nn=opt.k_nn, top_k=opt.top_k,
                 temperature=opt.temperature,
-                guidance_scale=opt.guidance_scale, memsize=opt.top_m,
-                use_weights=opt.use_weights, seed=seed,
+                guidance_scale=guidance, memsize=opt.top_m,
+                use_weights=opt.use_weights, qids=qids, seed=seed,
                 approx_top_k=opt.approx_top_k,
                 int8_weights=opt.int8_weights)
         else:
             logs = pipe.sample_with_query(
                 query, k_nn=opt.k_nn, top_k=opt.top_k,
                 temperature=opt.temperature,
-                guidance_scale=opt.guidance_scale,
+                guidance_scale=guidance,
                 only_query=opt.only_caption,
                 unconditional=opt.unconditional, seed=seed,
                 approx_top_k=opt.approx_top_k,
                 int8_weights=opt.int8_weights)
         save_batch(logs, opt.savepath, stamp, n)
-        print(f"run {n + 1}/{opt.n_runs} done")
+        print(f"run {n + 1}/{opt.n_runs} done (guidance={guidance})")
+        if opt.increase_guidance:
+            guidance += 1.0
     print("Done")
 
 
