@@ -563,6 +563,7 @@ def sample_tokens_fused(
     approx_top_k: bool = False,
     window_chunk: int = 64,
     int8_weights: bool = False,
+    partition: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """sample_tokens through the fused Pallas decode-step kernels
@@ -574,7 +575,11 @@ def sample_tokens_fused(
     int8_weights quantizes every matmul weight to symmetric
     per-output-channel int8 (halved HBM weight traffic — decode at small
     batch is weight-bound); sampling is no longer bit-comparable to the
-    bf16 path, so it stays opt-in for serving."""
+    bf16 path, so it stays opt-in for serving.
+    partition=True makes the decode DP-partitionable: the kernels run on
+    each device's local batch shard (custom_partitioning batch rules,
+    caller-side DUS cache commits — see decode_layer); bit-identical to
+    partition=False on one device, where the wrap bypasses itself."""
     from rdm_tpu.ops.decode_kernel import (commit_rows, decode_layer,
                                            uses_inkernel_commit,
                                            head_segment_matrices)
@@ -627,6 +632,7 @@ def sample_tokens_fused(
         # (CFG b64: 80.7 vs 86.8 img/s; block-pipelined variant 79.2),
         # so the default stays the DUS fallback.
         defer = (_os.environ.get("RARM_BATCHED_COMMIT", "0") == "1"
+                 and not partition
                  and not uses_inkernel_commit(window, bb, c))
 
         def body(carry, step):
@@ -645,7 +651,7 @@ def sample_tokens_fused(
                     seg, segt, layers[d],
                     heads=cfg.heads, head_dim=cfg.head_dim,
                     window=window, defer_commit=defer,
-                    interpret=interpret)
+                    partition=partition, interpret=interpret)
                 if defer:
                     krows.append(ko)
                     vrows.append(vo)

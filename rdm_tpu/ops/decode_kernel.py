@@ -405,6 +405,7 @@ def decode_layer(
     head_dim: int,
     window: int,
     defer_commit: bool = False,
+    partition: bool = False,
     interpret: bool = False,
 ):
     """Run one fused decode layer.
@@ -419,99 +420,129 @@ def decode_layer(
     [1, B, C] k/v rows are returned instead, for a batched cross-layer
     commit_rows call; otherwise a per-layer dynamic_update_slice commits
     here.
+
+    partition=True makes the layer DP-partitionable (multi-chip serving):
+    both pallas_calls go through `ops.partitioning.call_batch_partitioned`
+    so each device runs its LOCAL batch shard, and the KV commit is
+    forced to the caller-side dynamic_update_slice (in-kernel aliased
+    row outputs don't survive the custom_partitioning wrap; DUS is
+    natively batch-sharded by GSPMD). Single-device processes bypass the
+    wrap entirely, so this is a no-op on one chip.
     """
-    b, c = x.shape
-    s_ctx = cross_k.shape[0]
     scale = float(head_dim) ** -0.5
-    out_bc = jax.ShapeDtypeStruct((b, c), x.dtype)
     quantized = "wqkv_s" in w
-
-    # chunk the cache window so (Wc, B, C) blocks stay within VMEM
-    wc, n_chunks = _window_chunking(window, b)
-
     attn_scale_in = [w["wqkv_s"]] if quantized else []
-    t_cache = k_cache.shape[0]
 
-    # The scalar-dependent row index defeats Pallas's revisited-block
-    # detection, so the (1, B, C) out block is written back EVERY grid
-    # step. Cheap at small batch/chunk counts (b16: 4 x 24 KB/layer);
-    # catastrophic at CFG b64 (32 x 196 KB/layer = 113 MB/step, measured
-    # -8%). Alias-commit in-kernel only when the redundant write-back
-    # stays under ~512 KB per layer-step (CFG b16 = 384 KB measured a
-    # win); otherwise emit the rows and update caller-side.
-    inkernel_commit = uses_inkernel_commit(window, b, c)
-    if inkernel_commit:
-        row_out = pl.BlockSpec((1, b, c), lambda i, pos: (pos[0], 0, 0),
-                               memory_space=pltpu.VMEM)
-        row_shapes = (
-            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
-            jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
-        )
-        aliases = {2: 1, 3: 2}
+    def attn_call(pos1, x, k_cache, v_cache, seg, segt, n1s, n1b, wqkv,
+                  *scales):
+        """The LN1+qkv+cached-attention pallas_call, all shapes derived
+        from the args so the partitioner can re-trace it at per-device
+        LOCAL batch. Returns (attn [B,C], k_row, v_row) — rows are the
+        full aliased caches under in-kernel commit, else [1,B,C]."""
+        b, c = x.shape
+        t_cache = k_cache.shape[0]
+        out_bc = jax.ShapeDtypeStruct((b, c), x.dtype)
+        # chunk the cache window so (Wc, B, C) blocks stay within VMEM
+        wc, n_chunks = _window_chunking(window, b)
+
+        # The scalar-dependent row index defeats Pallas's revisited-block
+        # detection, so the (1, B, C) out block is written back EVERY
+        # grid step. Cheap at small batch/chunk counts (b16: 4 x 24
+        # KB/layer); catastrophic at CFG b64 (32 x 196 KB/layer = 113
+        # MB/step, measured -8%). Alias-commit in-kernel only when the
+        # redundant write-back stays under ~512 KB per layer-step (CFG
+        # b16 = 384 KB measured a win); otherwise emit the rows and
+        # update caller-side. Partitioned mode always emits rows.
+        inkernel = (not partition) and uses_inkernel_commit(window, b, c)
+        if inkernel:
+            row_out = pl.BlockSpec((1, b, c),
+                                   lambda i, pos: (pos[0], 0, 0),
+                                   memory_space=pltpu.VMEM)
+            row_shapes = (
+                jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
+                jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
+            )
+            aliases = {2: 1, 3: 2}
+        else:
+            row_out = pl.BlockSpec((1, b, c), lambda i, pos: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
+            row_shapes = (
+                jax.ShapeDtypeStruct((1, b, c), x.dtype),
+                jax.ShapeDtypeStruct((1, b, c), x.dtype),
+            )
+            aliases = {}
+
+        def full_sp(shape):
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda i, pos: (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        return pl.pallas_call(
+            functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
+                              scale=scale, quantized=quantized),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n_chunks,),
+                in_specs=[
+                    full_sp((b, c)),                    # x
+                    # chunk index clamped to the last chunk holding live
+                    # rows (< pos): cells skipped by the in-kernel
+                    # pl.when revisit the previous block instead of
+                    # streaming unread tail
+                    pl.BlockSpec((wc, b, c),
+                                 lambda i, pos: (
+                                     jnp.minimum(i,
+                                                 jnp.maximum(pos[0] - 1, 0)
+                                                 // wc), 0, 0),
+                                 memory_space=pltpu.VMEM),  # k chunk
+                    pl.BlockSpec((wc, b, c),
+                                 lambda i, pos: (
+                                     jnp.minimum(i,
+                                                 jnp.maximum(pos[0] - 1, 0)
+                                                 // wc), 0, 0),
+                                 memory_space=pltpu.VMEM),  # v chunk
+                    full_sp(seg.shape), full_sp(segt.shape),
+                    full_sp(n1s.shape), full_sp(n1b.shape),
+                    full_sp(wqkv.shape),
+                ] + [full_sp(a.shape) for a in scales],
+                out_specs=(full_sp((b, c)), row_out, row_out),
+                scratch_shapes=[
+                    pltpu.VMEM((b, c), x.dtype),     # q
+                    pltpu.VMEM((b, c), x.dtype),     # k_new
+                    pltpu.VMEM((b, c), x.dtype),     # v_new
+                    pltpu.VMEM((b, heads), jnp.float32),
+                    pltpu.VMEM((b, heads), jnp.float32),
+                    pltpu.VMEM((b, c), jnp.float32),
+                ],
+            ),
+            out_shape=(out_bc,) + row_shapes,
+            # operand order: (pos, x, k_cache, v_cache, ...); under
+            # inkernel commit the caches alias their row-updated outputs
+            input_output_aliases=aliases,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * b * window * c + 6 * b * c * c,
+                bytes_accessed=2 * b * window * c * 2 + 2 * wqkv.size,
+                transcendentals=b * window * heads),
+            interpret=interpret,
+        )(pos1, x, k_cache, v_cache, seg, segt, n1s, n1b, wqkv, *scales)
+
+    pos1 = pos.reshape((1,)).astype(jnp.int32)
+    attn_args = (pos1, x, k_cache, v_cache, seg, segt,
+                 w["n1s"], w["n1b"], w["wqkv"], *attn_scale_in)
+    if partition:
+        from rdm_tpu.ops.partitioning import call_batch_partitioned
+        attn, k_out, v_out = call_batch_partitioned(
+            attn_call, attn_args,
+            (None, 0, 1, 1) + (None,) * (len(attn_args) - 4),
+            out_batch_dims=(0, 1, 1))
+        inkernel_commit = False
     else:
-        row_out = pl.BlockSpec((1, b, c), lambda i, pos: (0, 0, 0),
-                               memory_space=pltpu.VMEM)
-        row_shapes = (
-            jax.ShapeDtypeStruct((1, b, c), x.dtype),
-            jax.ShapeDtypeStruct((1, b, c), x.dtype),
-        )
-        aliases = {}
-
-    def full_sp(shape):
-        nd = len(shape)
-        return pl.BlockSpec(shape, lambda i, pos: (0,) * nd,
-                            memory_space=pltpu.VMEM)
-
-    attn, k_out, v_out = pl.pallas_call(
-        functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
-                          scale=scale, quantized=quantized),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(n_chunks,),
-            in_specs=[
-                full_sp((b, c)),                        # x
-                # chunk index clamped to the last chunk holding live rows
-                # (< pos): cells skipped by the in-kernel pl.when revisit
-                # the previous block instead of streaming unread tail
-                pl.BlockSpec((wc, b, c),
-                             lambda i, pos: (
-                                 jnp.minimum(i, jnp.maximum(pos[0] - 1, 0)
-                                             // wc), 0, 0),
-                             memory_space=pltpu.VMEM),  # k window chunk
-                pl.BlockSpec((wc, b, c),
-                             lambda i, pos: (
-                                 jnp.minimum(i, jnp.maximum(pos[0] - 1, 0)
-                                             // wc), 0, 0),
-                             memory_space=pltpu.VMEM),  # v window chunk
-                full_sp(seg.shape), full_sp(segt.shape),
-                full_sp(w["n1s"].shape), full_sp(w["n1b"].shape),
-                full_sp(w["wqkv"].shape),
-            ] + [full_sp(a.shape) for a in attn_scale_in],
-            out_specs=(full_sp((b, c)), row_out, row_out),
-            scratch_shapes=[
-                pltpu.VMEM((b, c), x.dtype),     # q
-                pltpu.VMEM((b, c), x.dtype),     # k_new
-                pltpu.VMEM((b, c), x.dtype),     # v_new
-                pltpu.VMEM((b, heads), jnp.float32),
-                pltpu.VMEM((b, heads), jnp.float32),
-                pltpu.VMEM((b, c), jnp.float32),
-            ],
-        ),
-        out_shape=(out_bc,) + row_shapes,
-        # operand order: (pos, x, k_cache, v_cache, ...); under
-        # inkernel_commit the caches alias their row-updated outputs
-        input_output_aliases=aliases,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * window * c + 6 * b * c * c,
-            bytes_accessed=2 * b * window * c * 2 + 2 * w["wqkv"].size,
-            transcendentals=b * window * heads),
-        interpret=interpret,
-    )(pos.reshape((1,)).astype(jnp.int32), x,
-      k_cache, v_cache, seg, segt, w["n1s"], w["n1b"], w["wqkv"],
-      *attn_scale_in)
+        attn, k_out, v_out = attn_call(*attn_args)
+        inkernel_commit = uses_inkernel_commit(window, x.shape[0],
+                                               x.shape[1])
     if inkernel_commit:
         k_cache, v_cache = k_out, v_out
-    elif defer_commit:
+    elif defer_commit and not partition:
         k_cache, v_cache = k_out, v_out  # raw [1, B, C] rows
     else:
         k_cache = jax.lax.dynamic_update_slice_in_dim(
@@ -519,59 +550,79 @@ def decode_layer(
         v_cache = jax.lax.dynamic_update_slice_in_dim(
             v_cache, v_out, pos, axis=0)
 
-    ff = w["wff_a"].shape[1]
-    n_col = 4
-    while ff % n_col:
-        n_col //= 2
-    fcol = ff // n_col
-    col_in = pl.BlockSpec((c, fcol), lambda j: (0, j),
-                          memory_space=pltpu.VMEM)
-    col_bias = pl.BlockSpec((1, fcol), lambda j: (0, j),
-                            memory_space=pltpu.VMEM)
-    col_out = pl.BlockSpec((fcol, c), lambda j: (j, 0),
-                           memory_space=pltpu.VMEM)
-    if quantized:
-        col_scale = pl.BlockSpec((1, fcol), lambda j: (0, j),
-                                 memory_space=pltpu.VMEM)
-        ff_scale_in = [w["wo_s"], w["wq2_s"], w["wo2_s"],
-                       w["wff_a_s"], w["wff_g_s"], w["wff2_s"]]
-        ff_scale_specs = [_vmem_full(w["wo_s"].shape),
-                          _vmem_full(w["wq2_s"].shape),
-                          _vmem_full(w["wo2_s"].shape),
-                          col_scale, col_scale,
-                          _vmem_full(w["wff2_s"].shape)]
+    def post_call(x, attn, cross_k, cross_v, seg, segt,
+                  wo, bo, n2s, n2b, wq2, wo2, bo2, n3s, n3b,
+                  wff_a, wff_g, bff_a, bff_g, wff2, bff2, *scales):
+        """Post-attn + cross-attn + GEGLU FF pallas_call; shapes derived
+        from the args (re-traceable at local batch)."""
+        b, c = x.shape
+        s_ctx = cross_k.shape[0]
+        ff = wff_a.shape[1]
+        n_col = 4
+        while ff % n_col:
+            n_col //= 2
+        fcol = ff // n_col
+        col_in = pl.BlockSpec((c, fcol), lambda j: (0, j),
+                              memory_space=pltpu.VMEM)
+        col_bias = pl.BlockSpec((1, fcol), lambda j: (0, j),
+                                memory_space=pltpu.VMEM)
+        col_out = pl.BlockSpec((fcol, c), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM)
+        if quantized:
+            col_scale = pl.BlockSpec((1, fcol), lambda j: (0, j),
+                                     memory_space=pltpu.VMEM)
+            swo, swq2, swo2, swa, swg, sw2 = scales
+            ff_scale_specs = [_vmem_full(swo.shape),
+                              _vmem_full(swq2.shape),
+                              _vmem_full(swo2.shape),
+                              col_scale, col_scale,
+                              _vmem_full(sw2.shape)]
+        else:
+            ff_scale_specs = []
+        return pl.pallas_call(
+            functools.partial(_post_ff_kernel, n_col_blocks=n_col,
+                              scale=scale, quantized=quantized),
+            grid=(n_col,),
+            in_specs=[
+                _vmem_full((b, c)), _vmem_full((b, c)),     # x, attn
+                _vmem_full((s_ctx, b, c)), _vmem_full((s_ctx, b, c)),
+                _vmem_full(seg.shape), _vmem_full(segt.shape),
+                _vmem_full(wo.shape), _vmem_full(bo.shape),
+                _vmem_full(n2s.shape), _vmem_full(n2b.shape),
+                _vmem_full(wq2.shape), _vmem_full(wo2.shape),
+                _vmem_full(bo2.shape),
+                _vmem_full(n3s.shape), _vmem_full(n3b.shape),
+                col_in, col_in, col_bias, col_bias,
+                col_out, _vmem_full(bff2.shape),
+            ] + ff_scale_specs,
+            out_specs=_vmem_full((b, c)),
+            out_shape=jax.ShapeDtypeStruct((b, c), x.dtype),
+            scratch_shapes=[pltpu.VMEM((b, c), x.dtype),
+                            pltpu.VMEM((b, c), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * c * (3 * ff + 3 * c),
+                bytes_accessed=int(2 * (wff_a.size + wff_g.size
+                                        + wff2.size + wo.size
+                                        + wq2.size + wo2.size)),
+                transcendentals=b * ff),
+            interpret=interpret,
+        )(x, attn, cross_k, cross_v, seg, segt,
+          wo, bo, n2s, n2b, wq2, wo2, bo2, n3s, n3b,
+          wff_a, wff_g, bff_a, bff_g, wff2, bff2, *scales)
+
+    ff_scale_in = ([w["wo_s"], w["wq2_s"], w["wo2_s"],
+                    w["wff_a_s"], w["wff_g_s"], w["wff2_s"]]
+                   if quantized else [])
+    post_args = (x, attn, cross_k, cross_v, seg, segt,
+                 w["wo"], w["bo"], w["n2s"], w["n2b"], w["wq2"],
+                 w["wo2"], w["bo2"], w["n3s"], w["n3b"],
+                 w["wff_a"], w["wff_g"], w["bff_a"], w["bff_g"],
+                 w["wff2"], w["bff2"], *ff_scale_in)
+    if partition:
+        xo = call_batch_partitioned(
+            post_call, post_args,
+            (0, 0, 1, 1) + (None,) * (len(post_args) - 4))
     else:
-        ff_scale_in, ff_scale_specs = [], []
-    xo = pl.pallas_call(
-        functools.partial(_post_ff_kernel, n_col_blocks=n_col,
-                          scale=scale, quantized=quantized),
-        grid=(n_col,),
-        in_specs=[
-            _vmem_full((b, c)), _vmem_full((b, c)),     # x, attn
-            _vmem_full((s_ctx, b, c)), _vmem_full((s_ctx, b, c)),
-            _vmem_full(seg.shape), _vmem_full(segt.shape),
-            _vmem_full(w["wo"].shape), _vmem_full(w["bo"].shape),
-            _vmem_full(w["n2s"].shape), _vmem_full(w["n2b"].shape),
-            _vmem_full(w["wq2"].shape), _vmem_full(w["wo2"].shape),
-            _vmem_full(w["bo2"].shape),
-            _vmem_full(w["n3s"].shape), _vmem_full(w["n3b"].shape),
-            col_in, col_in, col_bias, col_bias,
-            col_out, _vmem_full(w["bff2"].shape),
-        ] + ff_scale_specs,
-        out_specs=_vmem_full((b, c)),
-        out_shape=out_bc,
-        scratch_shapes=[pltpu.VMEM((b, c), x.dtype),
-                        pltpu.VMEM((b, c), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * c * (3 * ff + 3 * c),
-            bytes_accessed=int(2 * (w["wff_a"].size + w["wff_g"].size
-                                    + w["wff2"].size + w["wo"].size
-                                    + w["wq2"].size + w["wo2"].size)),
-            transcendentals=b * ff),
-        interpret=interpret,
-    )(x, attn, cross_k, cross_v, seg, segt,
-      w["wo"], w["bo"], w["n2s"], w["n2b"], w["wq2"], w["wo2"], w["bo2"],
-      w["n3s"], w["n3b"], w["wff_a"], w["wff_g"],
-      w["bff_a"], w["bff_g"], w["wff2"], w["bff2"], *ff_scale_in)
+        xo = post_call(*post_args)
 
     return xo, k_cache, v_cache

@@ -50,9 +50,10 @@ def call_batch_partitioned(
     fn: Callable[..., Any],
     args: Tuple[Any, ...],
     batch_dims: Sequence[Optional[int]],
+    out_batch_dims: Sequence[int] = (0,),
 ):
-    """Invoke `fn(*args)` (single array result, batch dim 0) such that it
-    partitions over the mesh along the batch dimension.
+    """Invoke `fn(*args)` such that it partitions over the mesh along the
+    batch dimension.
 
     `batch_dims` has one entry per positional arg: the index of that
     arg's batch dimension, or None for args (or whole weight pytrees)
@@ -60,7 +61,12 @@ def call_batch_partitioned(
     internal sizes/constants from argument shapes and static config only
     — it is re-traced with the per-device LOCAL batch inside the
     partitioner.
+
+    `out_batch_dims` has one entry per result: the batch dimension index
+    of that result. With one entry `fn` must return a single array (and
+    so does the wrapper); with several, a tuple.
     """
+    multi = len(out_batch_dims) != 1
     if not _enabled():
         return fn(*args)
 
@@ -76,9 +82,10 @@ def call_batch_partitioned(
     # explicit replicated operands — custom_partitioning rejects jaxprs
     # with consts
     closed = jax.make_jaxpr(flat_fn)(*flat_args)
-    if len(closed.jaxpr.outvars) != 1:
-        raise ValueError("call_batch_partitioned supports single-array "
-                         "results")
+    if len(closed.jaxpr.outvars) != len(out_batch_dims):
+        raise ValueError(
+            f"fn returned {len(closed.jaxpr.outvars)} arrays but "
+            f"out_batch_dims names {len(out_batch_dims)}")
     consts = list(closed.consts)
     n_c = len(consts)
     all_flat = consts + list(flat_args)
@@ -87,7 +94,7 @@ def call_batch_partitioned(
     def replay(*operands):
         outs = jax.core.eval_jaxpr(closed.jaxpr, operands[:n_c],
                                    *operands[n_c:])
-        return outs[0]
+        return tuple(outs) if multi else outs[0]
 
     def local_fn(*operands):
         # per-shard lowering: retrace at local shapes; fn regenerates its
@@ -111,8 +118,9 @@ def call_batch_partitioned(
         return " ".join(dims)
 
     terms = [term_for(x.ndim, bd) for x, bd in zip(all_flat, all_dims)]
-    out_ndim = closed.jaxpr.outvars[0].aval.ndim
-    rule = ", ".join(terms) + " -> " + term_for(out_ndim, 0)
+    out_terms = [term_for(ov.aval.ndim, obd)
+                 for ov, obd in zip(closed.jaxpr.outvars, out_batch_dims)]
+    rule = ", ".join(terms) + " -> " + ", ".join(out_terms)
 
     def _batch_axis(arg_shapes):
         """The mesh axis (name or tuple) the batch is sharded over, from
@@ -137,13 +145,22 @@ def call_batch_partitioned(
         arg_sh = tuple(
             NamedSharding(mesh, _spec(ax, leaf.ndim, bd))
             for leaf, bd in zip(arg_shapes, all_dims))
-        out_sh = NamedSharding(mesh, _spec(ax, result_shape.ndim, 0))
+        if multi:
+            out_sh = tuple(
+                NamedSharding(mesh, _spec(ax, r.ndim, obd))
+                for r, obd in zip(result_shape, out_batch_dims))
+        else:
+            out_sh = NamedSharding(
+                mesh, _spec(ax, result_shape.ndim, out_batch_dims[0]))
         return mesh, local_fn, out_sh, arg_sh
 
     def infer_sharding_from_operands(mesh, arg_shapes, shape):
         # GSPMD (non-Shardy) fallback; under Shardy the rule is used
-        return NamedSharding(
-            mesh, _spec(_batch_axis(arg_shapes), shape.ndim, 0))
+        ax = _batch_axis(arg_shapes)
+        if multi:
+            return tuple(NamedSharding(mesh, _spec(ax, r.ndim, obd))
+                         for r, obd in zip(shape, out_batch_dims))
+        return NamedSharding(mesh, _spec(ax, shape.ndim, out_batch_dims[0]))
 
     wrapped = custom_partitioning(replay)
     wrapped.def_partition(

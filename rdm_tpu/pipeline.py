@@ -567,20 +567,23 @@ class RARMPipeline:
             from rdm_tpu.models.rarm import (sample_tokens_fused,
                                              use_fused_decode_default)
 
-            # fused Pallas decode kernels on TPU, single-device only: the
-            # decode kernels' in-kernel aliased KV-cache commits don't
-            # survive a custom_partitioning wrap (unlike the RDM block
-            # kernels, which DO batch-partition — ops/partitioning.py),
-            # so DP meshes take the XLA staged path that GSPMD shards
-            # natively
-            fused = (use_fused_decode_default()
-                     and (self.mesh is None
-                          or self.mesh.shape.get("data", 1) <= 1))
+            # fused Pallas decode kernels on TPU. Under a DP mesh the
+            # kernels run with partition=True: batch-partitioned via
+            # custom_partitioning, KV commits forced to caller-side
+            # dynamic_update_slice (in-kernel aliased commits don't
+            # survive the wrap) — each chip decodes its local batch
+            # shard with the full fused speedup
+            # (tests/test_partitioning.py: bit-exact vs single-device).
+            fused = use_fused_decode_default()
+            dp = (self.mesh is not None
+                  and self.mesh.shape.get("data", 1) > 1)
             if int8_weights and not fused:
                 raise ValueError("int8_weights requires the fused TPU "
-                                 "decode path (single-device)")
+                                 "decode path")
             sampler = sample_tokens_fused if fused else sample_tokens
             extra = {"int8_weights": True} if int8_weights else {}
+            if fused and dp:
+                extra["partition"] = True
 
             def run(params, nbrs, rng):
                 return sampler(
