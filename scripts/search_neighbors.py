@@ -34,11 +34,23 @@ from PIL import Image
 
 def parse_args():
     p = argparse.ArgumentParser()
-    p.add_argument("--query_filelist", type=str, required=True,
-                   help="one image path per line")
+    p.add_argument("-rc", "--rconfig", type=str, default=None,
+                   help="reference-schema dataset_builder YAML "
+                        "(configs/dataset_builder/*.yaml): retrieval "
+                        "dataset + retriever + db dir, replaces "
+                        "--database/--build_filelist/--clip_ckpt")
+    p.add_argument("-qc", "--qconfig", type=str, default=None,
+                   help="reference-schema query_datasets YAML "
+                        "(configs/query_datasets/*.yaml), replaces "
+                        "--query_filelist")
+    p.add_argument("--split", type=str, default="train",
+                   help="which data.params split of --qconfig to query")
+    p.add_argument("--query_filelist", type=str, default=None,
+                   help="one image path per line (or use --qconfig)")
     p.add_argument("--query_size", type=int, default=256)
-    p.add_argument("--database", type=str, required=True,
-                   help="npz dir (existing db) or target dir for --build")
+    p.add_argument("--database", type=str, default=None,
+                   help="npz dir (existing db) or target dir for --build "
+                        "(or use --rconfig)")
     p.add_argument("--build_filelist", type=str, default=None,
                    help="build the db from these images first")
     p.add_argument("--patch_size", type=int, default=256)
@@ -159,8 +171,23 @@ def main():
 
     embed_img, embed_txt = make_embedder(opt)
 
-    # phase 1: database
-    if opt.build_filelist:
+    # phase 1: database — from a reference dataset_builder YAML (-rc) or
+    # from the filelist flags
+    if opt.rconfig:
+        from rdm_tpu.retrieval.yaml_config import builder_from_config
+        builder, _ = builder_from_config(
+            opt.rconfig, cli_ckpt=opt.clip_ckpt,
+            embedder_override=embed_img if opt.random_embedder else None)
+        if builder.pool is None and builder.patcher is None:
+            raise SystemExit(f"{opt.rconfig}: no existing database at "
+                             "builder.params.saved_embeddings and no "
+                             "builder.params.data source to build one")
+        if builder.patcher is not None:
+            builder.build_data_pool()
+        opt.k = builder.k  # reference searches builder.params.k neighbors
+    elif opt.build_filelist:
+        if not opt.database:
+            raise SystemExit("--database required with --build_filelist")
         with open(opt.build_filelist) as f:
             db_paths = [l.strip() for l in f if l.strip()]
         patcher = PatcherDataset(
@@ -171,24 +198,40 @@ def main():
                                  batch_size=opt.batch_size, k=opt.k)
         builder.build_data_pool()
     else:
+        if not opt.database:
+            raise SystemExit("pass --rconfig or --database")
         builder = DatasetBuilder(save_dir=opt.database, k=opt.k)
         if builder.pool is None:
             raise SystemExit(f"no database at {opt.database}; pass "
                              "--build_filelist to create one")
     builder.train_searcher(backend=opt.backend)
 
-    # phase 2: queries
-    with open(opt.query_filelist) as f:
-        q_paths = [l.strip() for l in f if l.strip()]
+    # phase 2: queries — from a reference query_datasets YAML (-qc) or a
+    # filelist
     captions = None
-    if opt.mode == "text":
-        assert opt.captions, "--captions required in text mode"
-        with open(opt.captions) as f:
-            captions = [l.rstrip("\n") for l in f]
-        assert len(captions) == len(q_paths)
+    if opt.qconfig:
+        from rdm_tpu.retrieval.yaml_config import query_dataset_from_config
+        qset, cfg_k = query_dataset_from_config(opt.qconfig, opt.split)
+        if cfg_k:
+            opt.k = cfg_k
+        n_queries = len(qset)
+        if opt.mode == "text":
+            raise SystemExit("--mode text needs --query_filelist + "
+                             "--captions (query YAMLs are image datasets)")
+    else:
+        if not opt.query_filelist:
+            raise SystemExit("pass --qconfig or --query_filelist")
+        with open(opt.query_filelist) as f:
+            q_paths = [l.strip() for l in f if l.strip()]
+        if opt.mode == "text":
+            assert opt.captions, "--captions required in text mode"
+            with open(opt.captions) as f:
+                captions = [l.rstrip("\n") for l in f]
+            assert len(captions) == len(q_paths)
+        qset = ImagePaths(q_paths, size=opt.query_size)
+        n_queries = len(q_paths)
 
-    indices = np.array_split(np.arange(len(q_paths)), opt.parts)[opt.part_no]
-    qset = ImagePaths(q_paths, size=opt.query_size)
+    indices = np.array_split(np.arange(n_queries), opt.parts)[opt.part_no]
 
     nn_paths = {}
     corrupts = []
