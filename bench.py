@@ -68,6 +68,12 @@ CFG_MODE = os.environ.get("BENCH_CFG_MODE", "shared")
 # >1 measures the APPROXIMATE encoder-reuse serving mode (never the
 # headline: the recorded-FLOPs key below stays the exact op point)
 ENCODER_REUSE = int(os.environ.get("BENCH_ENCODER_REUSE", 1))
+# BENCH_INT8=1 measures the int8 U-Net serving mode (ops/quant.py:
+# weight+activation int8 convs, 2x MXU rate on v5e). APPROXIMATE and
+# never the headline; the calibration here is a single-forward absmax
+# pass (speed is scale-independent — the quality gate lives in
+# scripts/quality_eval.py).
+INT8 = os.environ.get("BENCH_INT8", "0") == "1"
 DDIM_STEPS = 50
 K_NN = 4
 GUIDANCE = 2.0
@@ -273,6 +279,28 @@ def main():
     params = cast_params_for_inference(params)
     vq_params = cast_params_for_inference(vq_params)
 
+    if INT8:
+        # quantize the U-Net convs through the production code path; a
+        # single forward collects the act absmax (throughput does not
+        # depend on scale values, only on the int8 program structure)
+        from rdm_tpu.ops import quant
+        print("quantizing unet convs to int8...", flush=True)
+        kx = jax.random.PRNGKey(11)
+        x_c = jax.random.normal(kx, x0.shape, jnp.float32)
+        t_c = jnp.full((BATCH,), 500, jnp.int32)
+        ctx_b = 2 * BATCH if (GUIDANCE != 1.0 and CFG_MODE == "shared") \
+            else BATCH
+        c_c = jax.random.normal(jax.random.PRNGKey(12),
+                                (ctx_b, K_NN, cfg.context_dim),
+                                jnp.float32)
+        with quant.calibrate():
+            calib = jax.jit(lambda p, x, t, c: model.apply(
+                p, x, t, c, mutable=["intermediates"])[1])(
+                params, x_c, t_c, c_c)
+        params = quant.quantize_conv_tree(params, calib)
+        print(f"# int8 conv kernels: {quant.num_quantized(params)}",
+              flush=True)
+
     # device health gate BEFORE the expensive compile: a degraded tunnel
     # window both lengthens the compile and poisons the capture
     print("probing device health...", flush=True)
@@ -414,7 +442,7 @@ def main():
             print(f"# cost analysis attempt {attempt + 1} failed: {e}",
                   flush=True)
     op_point = (BATCH, DDIM_STEPS, K_NN, GUIDANCE, CFG_MODE)
-    if ENCODER_REUSE != 1:
+    if ENCODER_REUSE != 1 or INT8:
         op_point = None  # recorded constants are for the exact op point
     if flops_per_img is None and op_point in RECORDED_FLOPS:
         # recorded constants keyed on the FULL op point so a non-default
@@ -447,8 +475,12 @@ def main():
         "flops_source": flops_source,
         "compile_s": round(compile_s, 1),
     }
+    if ENCODER_REUSE != 1:
+        line["encoder_reuse"] = ENCODER_REUSE
+    if INT8:
+        line["int8"] = True
     print(json.dumps(line))
-    if not degraded:
+    if not degraded and ENCODER_REUSE == 1 and not INT8:
         try:
             with open(_LAST_GOOD_PATH, "w") as f:
                 json.dump({**line, "measured_at": time.strftime(

@@ -298,6 +298,7 @@ def sample_with_neighbors(
     guidance_label: Optional[float] = None,
     y=None,
     concat=None,
+    return_intermediates: bool = False,
 ) -> jnp.ndarray:
     """DDIM-sample latents conditioned on a neighbor sequence.
 
@@ -305,6 +306,10 @@ def sample_with_neighbors(
     when the model has a learned nn_encoder. y/concat route per
     conditioning_key. Returns latents [B, H, W, C]; decode with the first
     stage. The whole call is jit-able.
+
+    return_intermediates=True returns (latents, pred_x0 trajectory)
+    instead (requires sampler.log_every_t != 0) — the fidelity harness
+    (eval/fidelity.py) compares approximate serving modes step by step.
     """
     cfg = model.config
     uncond = None
@@ -322,8 +327,10 @@ def sample_with_neighbors(
     shape = (b, cfg.image_size, cfg.image_size, cfg.channels)
     feats_fn = (make_denoise_feats_fn(model, params, y=y, concat=concat)
                 if sampler.encoder_reuse > 1 else None)
-    x, _ = ddim_sample(
+    x, interm = ddim_sample(
         make_denoise_fn(model, params, y=y, concat=concat), schedule,
         sampler, shape, neighbors, rng, uncond_context=uncond,
         denoise_feats_fn=feats_fn)
+    if return_intermediates:
+        return x / cfg.scale_factor, interm
     return x / cfg.scale_factor

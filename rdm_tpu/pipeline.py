@@ -140,10 +140,15 @@ class RDMPipeline:
                  pool: Optional[DataPool] = None,
                  memory: Optional[NNMemory] = None,
                  clip_params=None, clip_config: Optional[ClipConfig] = None,
-                 dtype=jnp.bfloat16, mesh=None):
+                 dtype=jnp.bfloat16, mesh=None, int8_weights: bool = False):
         self.config = config
         self.model = RDM(config, dtype=dtype)
         self.params = cast_params_for_inference(params, dtype)
+        # int8 serving mode (ops/quant.py): the U-Net convs run int8 MXU
+        # (2x bf16 rate on v5e). Calibrated lazily on the first sampling
+        # call (it needs a real neighbor batch); approximate — opt-in.
+        self.int8_weights = int8_weights
+        self._params_int8 = None
         self.first_stage = VQModel(first_stage_config, dtype=dtype)
         self.first_stage_params = cast_params_for_inference(
             first_stage_params, dtype)
@@ -401,14 +406,12 @@ class RDMPipeline:
         images = self._decode(self.first_stage_params, z / cfg.scale_factor)
         return {"retro_adaptive_samples": to_uint8(images)}
 
-    def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
-                  guidance_scale: float, seed: int,
-                  encoder_reuse: int = 1) -> np.ndarray:
+    def _get_ddim_runner(self, steps: int, guidance_scale: float,
+                         batch: int, encoder_reuse: int = 1):
         # runners are cached per static config: jit caches by function
         # identity, so rebuilding the closure every call would recompile
         # the whole DDIM program each time under a mesh
-        key = ("ddim", steps, guidance_scale, neighbors.shape[0],
-               encoder_reuse)
+        key = ("ddim", steps, guidance_scale, batch, encoder_reuse)
         run = self._runners.get(key)
         if run is None:
             sampler = DDIMSamplerConfig(num_steps=steps,
@@ -423,9 +426,101 @@ class RDMPipeline:
                     self.model, params, nbrs, self.schedule, sampler, rng,
                     guidance_label=0.0)
 
-            run = _maybe_data_parallel(run, self.mesh, neighbors.shape[0])
+            run = _maybe_data_parallel(run, self.mesh, batch)
             self._runners[key] = run
+        return run
+
+    def serving_params(self, neighbors=None, *, steps: int = 50,
+                       guidance_scale: float = 2.0, seed: int = 0):
+        """The param tree sampling runs with: int8-quantized (calibrated
+        lazily on `neighbors`) when int8_weights is on, else bf16."""
+        if not self.int8_weights:
+            return self.params
+        if neighbors is None and self._params_int8 is None:
+            raise ValueError("int8 calibration needs a neighbor batch")
+        return self.quantized_params(neighbors, steps=steps,
+                                     guidance_scale=guidance_scale,
+                                     seed=seed)
+
+    def quantized_params(self, neighbors, *, steps: int = 50,
+                         guidance_scale: float = 2.0, seed: int = 0):
+        """The int8 U-Net param tree, calibrated once (cached) on a real
+        sampling trajectory for `neighbors`. Usable directly (e.g. the
+        quality harness) whether or not int8_weights is set."""
+        if self._params_int8 is None:
+            self._params_int8 = self._calibrate_int8(
+                jnp.asarray(neighbors), steps, guidance_scale, seed)
+        return self._params_int8
+
+    def _calibrate_int8(self, neighbors, steps, guidance_scale, seed):
+        """Build the int8 U-Net param tree (ops/quant.py): one bf16
+        sampling run supplies trajectory-marginal calibration inputs, a
+        single extra forward compile collects per-conv act max-abs in the
+        exact serving form (shared-prefix CFG context)."""
+        from rdm_tpu.models.rdm import RDM as _RDM
+        from rdm_tpu.ops import quant
+
+        run = self._get_ddim_runner(steps, guidance_scale,
+                                    neighbors.shape[0])
         z = run(self.params, neighbors, jax.random.PRNGKey(seed))
+        z = jnp.asarray(z) * self.config.scale_factor  # back to model scale
+        ctx = self.model.apply(self.params, neighbors,
+                               method=_RDM.encode_neighbors)
+        if guidance_scale != 1.0:
+            uncond = self.model.apply(self.params, ctx.shape[0],
+                                      ctx.shape[1], 0.0,
+                                      method=_RDM.uncond_context)
+            ctx = jnp.concatenate([ctx, uncond], axis=0)
+        absmax = quant.ddim_trajectory_absmax(
+            lambda p, x, t, c: self.model.apply(
+                p, x, t, c, mutable=["intermediates"]),
+            self.params, z, self.schedule, steps, ctx, seed=seed)
+        return quant.quantize_conv_tree(self.params, absmax)
+
+    def fidelity_run(self, neighbors, *, steps: int = 50,
+                     guidance_scale: float = 2.0, seed: int = 0,
+                     encoder_reuse: int = 1,
+                     int8: bool = False) -> Dict[str, np.ndarray]:
+        """One sampling run instrumented for the fidelity harness
+        (eval/fidelity.py): returns {"z" final latents, "images" uint8
+        pixels, "traj" per-step pred_x0}. All modes consume rng
+        identically, so runs with the same seed differ ONLY by the
+        serving approximation under test (int8 / encoder-reuse)."""
+        neighbors = jnp.asarray(neighbors)
+        params = (self.quantized_params(neighbors, steps=steps,
+                                        guidance_scale=guidance_scale,
+                                        seed=seed)
+                  if int8 else self.params)
+        key = ("fid", steps, guidance_scale, neighbors.shape[0],
+               encoder_reuse)
+        run = self._runners.get(key)
+        if run is None:
+            sampler = DDIMSamplerConfig(num_steps=steps,
+                                        guidance_scale=guidance_scale,
+                                        cfg_mode="shared", log_every_t=1,
+                                        encoder_reuse=encoder_reuse)
+
+            def run(params, nbrs, rng):
+                return sample_with_neighbors(
+                    self.model, params, nbrs, self.schedule, sampler, rng,
+                    guidance_label=0.0, return_intermediates=True)
+
+            run = jax.jit(run)
+            self._runners[key] = run
+        z, traj = run(params, neighbors, jax.random.PRNGKey(seed))
+        images = to_uint8(self._decode(self.first_stage_params, z))
+        return {"z": np.asarray(z), "images": images,
+                "traj": np.asarray(traj)}
+
+    def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
+                  guidance_scale: float, seed: int,
+                  encoder_reuse: int = 1) -> np.ndarray:
+        run = self._get_ddim_runner(steps, guidance_scale,
+                                    neighbors.shape[0], encoder_reuse)
+        params = self.serving_params(neighbors, steps=steps,
+                                     guidance_scale=guidance_scale,
+                                     seed=seed)
+        z = run(params, neighbors, jax.random.PRNGKey(seed))
         images = self._decode(self.first_stage_params, z)
         return to_uint8(images)
 

@@ -48,6 +48,10 @@ def parse_args() -> argparse.Namespace:
                    help="recompute the U-Net encoder only every N DDIM "
                         "steps (Faster-Diffusion-style approximate "
                         "acceleration; 1 = exact)")
+    p.add_argument("--int8_weights", action="store_true",
+                   help="serving mode: U-Net convs in calibrated "
+                        "weight+activation int8 (2x MXU rate on v5e); "
+                        "approximate — see ops/quant.py")
     p.add_argument("-c", "--caption", type=str, default="")
     p.add_argument("--only_caption", action="store_true")
     p.add_argument("--omit_query", action="store_true")
@@ -87,7 +91,8 @@ def main() -> None:
         mesh = make_mesh(data=opt.data_parallel)
     pipe = RDMPipeline.from_model_dir(
         opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
-        clip_ckpt=opt.clip_ckpt, random_init=opt.random_init, mesh=mesh)
+        clip_ckpt=opt.clip_ckpt, random_init=opt.random_init, mesh=mesh,
+        int8_weights=opt.int8_weights)
 
     stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
     qids = None

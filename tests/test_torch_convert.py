@@ -913,3 +913,101 @@ def test_golden_ddim_to_pixels_vs_torch():
                   method=VQModel.decode)
     tol = 2e-3 * max(1.0, float(ref_px.abs().max()))
     _assert_close(ref_px, px, atol=tol)
+
+
+# ---------------- int8 quantization gates on converted oracle weights --
+# (VERDICT r3 #8: the flagship int8 agreement numbers were measured on
+# bench-synthesized params; these gates re-measure the recipes on REAL
+# torch-initialized weight distributions via the converter.)
+
+def test_unet_int8_agreement_on_converted_weights():
+    """U-Net int8 serving recipe (ops/quant.py) on converted torch
+    weights: calibrated weight+activation int8 must track the f32 eps
+    output closely."""
+    from rdm_tpu.ops import quant
+
+    torch.manual_seed(11)
+    oracle = TUNet(UNET_CFG).eval()
+    params = convert_unet(_sd(oracle), UNET_CFG, prefix="")
+    model = UNet(UNET_CFG)
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 8, 8, 3)).astype(np.float32))
+    t = jnp.asarray([3, 40])
+    ctx = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 5, 24)).astype(np.float32))
+    with quant.calibrate():
+        ref, inter = model.apply(params, x, t, ctx,
+                                 mutable=["intermediates"])
+    qtree = quant.quantize_conv_tree(params, inter)
+    assert quant.num_quantized(qtree) > 0
+    out = model.apply(qtree, x, t, ctx)
+    r = np.asarray(ref, np.float32).ravel()
+    o = np.asarray(out, np.float32).ravel()
+    cos = float(r @ o / (np.linalg.norm(r) * np.linalg.norm(o)))
+    assert cos > 0.995
+    rel = np.linalg.norm(o - r) / np.linalg.norm(r)
+    assert rel < 0.1
+
+
+def test_rarm_int8_agreement_on_converted_weights():
+    """RARM weight-only int8 recipe (models/rarm.extract_decode_weights)
+    on converted torch weights: per-output-channel codes must round-trip
+    accurately and greedy token choices must agree with f32."""
+    from rdm_tpu.models.rarm import RARM, RARMConfig, extract_decode_weights
+    from rdm_tpu.utils.torch_convert import convert_rarm_transformer
+
+    torch.manual_seed(12)
+    oracle = TRarm().eval()
+    sd = {f"transformer.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    cfg = RARMConfig(vocab_size=24, out_vocab=20, heads=2, head_dim=16,
+                     depth=2, context_dim=8, seq_len=6, sos_token=23,
+                     mask_token=22, code_side=2)
+    params = convert_rarm_transformer(sd, cfg.depth)
+    f32 = extract_decode_weights(params, cfg, int8_weights=False,
+                                 dtype=jnp.float32)
+    q = extract_decode_weights(params, cfg, int8_weights=True)
+    names = ("wqkv", "wo", "wq2", "wo2", "wff_a", "wff_g", "wff2")
+    # (a) code round-trip: dequantized int8 ~ original weights
+    for lf, lq in zip(f32, q):
+        for n in names:
+            deq = (lq[n].astype(jnp.float32)
+                   * lq[n + "_s"].astype(jnp.float32))
+            w = np.asarray(lf[n], np.float32)
+            rel = np.linalg.norm(np.asarray(deq) - w) / np.linalg.norm(w)
+            assert rel < 0.01, (n, rel)
+    # (b) greedy token agreement: run the model with weights replaced by
+    # their dequantized int8 codes (the fused kernels scale the dot
+    # OUTPUT — mathematically identical to contracting with these
+    # dequantized weights)
+    def dequant_params(p):
+        import copy
+        out = copy.deepcopy(jax.tree.map(lambda x: x, p))
+        root = out["params"] if "params" in out else out
+        for d in range(cfg.depth):
+            blk = root[f"block_{d}"]
+            for mod, key in (("attn1", "to_q"), ("attn1", "to_k"),
+                             ("attn1", "to_v"), ("attn1", "to_out"),
+                             ("attn2", "to_q"), ("attn2", "to_out"),
+                             ("ff", "proj_in"), ("ff", "proj_out")):
+                k = blk[mod][key]["kernel"].astype(jnp.float32)
+                s = jnp.maximum(
+                    jnp.max(jnp.abs(k), axis=0, keepdims=True) / 127.0,
+                    1e-12)
+                kq = jnp.clip(jnp.round(k / s), -127, 127)
+                blk[mod][key]["kernel"] = (
+                    kq * s.astype(jnp.bfloat16).astype(jnp.float32))
+        return out
+
+    model = RARM(cfg)
+    toks = jnp.asarray(np.random.default_rng(2).integers(
+        0, 20, (8, 6)))
+    ctx = jnp.asarray(np.random.default_rng(3).standard_normal(
+        (8, 3, 8)).astype(np.float32))
+    logits_f32 = model.apply(params, toks, ctx)
+    logits_q = model.apply(dequant_params(params), toks, ctx)
+    agree = float(np.mean(
+        np.argmax(np.asarray(logits_f32), -1)
+        == np.argmax(np.asarray(logits_q), -1)))
+    assert agree >= 0.95, agree
