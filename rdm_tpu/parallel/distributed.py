@@ -26,9 +26,21 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """Idempotent jax.distributed init. With no args, relies on the TPU
-    environment's auto-discovery; explicit args support GPU/CPU clusters."""
-    if jax.process_count() > 1:
-        return  # already initialized by the runtime
+    environment's auto-discovery; explicit args support GPU/CPU clusters.
+
+    Must run before any backend-touching jax call — probing with
+    jax.process_count() here would itself initialize the local backend
+    and make the real distributed init impossible (round-4 fix; the
+    multiprocess dryrun executes this path for real). CPU clusters get
+    gloo collectives (the only cross-process CPU implementation)."""
+    if jax.distributed.is_initialized():
+        return
+    try:
+        # harmless for TPU backends; required for CPU cross-process
+        # collectives (psum/all_gather over the distributed client)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass  # older jax without the option
     try:
         if coordinator_address is not None:
             jax.distributed.initialize(
