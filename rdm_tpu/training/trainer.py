@@ -397,6 +397,27 @@ class RARMTrainer:
             nns = nns.reshape(b, -1, nns.shape[-1])
         return z_indices, nns
 
+    def validate(self, state: TrainState, val_loader,
+                 max_batches: Optional[int] = None) -> Dict[str, float]:
+        """EMA-weighted held-out CE loss (the counterpart of the RDM
+        trainer's validate; backs the post-fit test pass, reference
+        main.py:1024-1031)."""
+        from rdm_tpu.models.rarm import RARM
+
+        max_batches = max_batches or self.tcfg.val_batches
+        losses = []
+        rng = jax.random.PRNGKey(0)  # fixed: comparable across evals
+        for bi, batch in enumerate(val_loader):
+            if bi >= max_batches:
+                break
+            z_idx, nns = self.prepare_batch(batch)
+            _, m = self.model.apply(
+                state.ema.params, z_idx, nns, jax.random.fold_in(rng, bi),
+                None, method=RARM.training_loss)
+            losses.append(float(np.asarray(m["loss"])))
+        return {"val/loss_ema":
+                float(np.mean(losses)) if losses else float("nan")}
+
     def fit(self, loader, state: Optional[TrainState] = None,
             max_steps: Optional[int] = None) -> TrainState:
         state = state if state is not None else self.resume_or_init()

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import datetime
+import json
 import os
 import sys
 
@@ -39,6 +40,10 @@ def parse_args():
                    default="replicated",
                    help="fsdp shards params/moments/EMA over the data "
                         "axis for models that outgrow one chip's HBM")
+    p.add_argument("--no-test", dest="no_test", action="store_true",
+                   help="skip the post-fit held-out test pass "
+                        "(reference main.py:1024-1031 runs trainer.test "
+                        "after fit unless --no-test)")
     return p.parse_known_args()
 
 
@@ -182,9 +187,27 @@ def main():
     trainer = cls(model_cfg, tcfg, fs_cfg, fs_params, mesh=mesh,
                   batch_size=batch_size)
     if is_rarm:
-        trainer.fit(loader)
+        state = trainer.fit(loader)
     else:
-        trainer.fit(loader, val_loader=val_loader)
+        state = trainer.fit(loader, val_loader=val_loader)
+
+    # post-fit held-out test pass (reference main.py:1024-1031: trainer
+    # runs .test after fit unless --no-test; the data module's `test`
+    # split supplies the loader, falling back nowhere — no split, no pass)
+    if not opt.no_test:
+        test_ds = build_split(data_cfg.get("test", {}) or {})
+        if test_ds is None:
+            print("no data.params.test split configured — skipping "
+                  "post-fit test pass")
+        else:
+            test_loader = DataLoader(test_ds, batch_size=batch_size,
+                                     shuffle=False)
+            res = trainer.validate(state, test_loader)
+            res = {k.replace("val/", "test/"): v for k, v in res.items()}
+            print("post-fit test pass: " + json.dumps(res))
+            with open(os.path.join(rundir, "test_metrics.json"),
+                      "w") as f:
+                json.dump(res, f)
 
 
 if __name__ == "__main__":

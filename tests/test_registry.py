@@ -4,6 +4,7 @@ nested QueryDataset join, sampler_config filtering, and a train.py CLI run
 driven purely from the config (reference main.py:777-799 contract).
 """
 
+import json
 import os
 import pickle
 import subprocess
@@ -174,6 +175,18 @@ data:
             root: {root}
             config:
               size: 32
+    test:
+      target: rdm.data.base.QueryDataset
+      params:
+        k: 2
+        nns: {nns}
+        n_patches_per_side: 1
+        dset_config:
+          target: rdm.data.imagenet.ImageNetTrain
+          params:
+            root: {root}
+            config:
+              size: 32
 """
 
 
@@ -194,3 +207,9 @@ def test_train_cli_from_config_targets(imagenet_root, nn_dir, tmp_path):
     assert len(runs) == 1
     metrics = tmp_path / "logs" / runs[0] / "metrics.jsonl"
     assert metrics.exists() and metrics.read_text().strip()
+    # post-fit held-out test pass (reference main.py:1024-1031): the
+    # configured data.params.test split is evaluated after fit
+    test_metrics = tmp_path / "logs" / runs[0] / "test_metrics.json"
+    assert test_metrics.exists(), proc.stdout[-2000:]
+    res = json.loads(test_metrics.read_text())
+    assert np.isfinite(res["test/loss_simple_ema"])

@@ -125,6 +125,9 @@ def test_rarm_trainer_steps(workspace, tmp_path):
     metrics = [json.loads(l) for l in
                open(os.path.join(tcfg.logdir, "metrics.jsonl"))]
     assert all(np.isfinite(m["loss"]) for m in metrics)
+    # held-out EMA CE (backs train.py's post-fit test pass)
+    val = trainer.validate(state, loader, max_batches=2)
+    assert np.isfinite(val["val/loss_ema"])
 
 
 def test_validation_loop(workspace):
