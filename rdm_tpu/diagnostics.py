@@ -40,6 +40,69 @@ def make_grid(images: np.ndarray, n_per_row: int = 4) -> np.ndarray:
     return grid
 
 
+def _font(size: int):
+    """Scalable font without a bundled TTF (the reference vendors
+    data/DejaVuSans.ttf; Pillow's built-in scalable default replaces
+    it). Falls back to the tiny bitmap font on very old Pillow."""
+    from PIL import ImageFont
+
+    try:
+        return ImageFont.load_default(size=size)
+    except TypeError:
+        return ImageFont.load_default()
+
+
+def log_txt_as_img(wh, texts, *, fontsize: int = 10) -> np.ndarray:
+    """Render caption strings onto white tiles — the reference's
+    conditioning visualization for caption/human_label batches
+    (ldm.util.log_txt_as_img, used at
+    /root/reference/rdm/models/diffusion/ddpm.py:524-529).
+    Returns uint8 [B, H, W, 3]."""
+    from PIL import Image, ImageDraw
+
+    w, h = wh
+    font = _font(fontsize)
+    out = []
+    for text in texts:
+        img = Image.new("RGB", (w, h), color="white")
+        draw = ImageDraw.Draw(img)
+        n_chars = max(int(w / (fontsize * 0.6)), 1)
+        lines = "\n".join(
+            str(text)[i:i + n_chars]
+            for i in range(0, len(str(text)), n_chars))
+        draw.text((2, 2), lines, fill="black", font=font)
+        out.append(np.asarray(img, np.uint8))
+    return np.stack(out)
+
+
+def neighbor_grid(batch, nn_key: str = "nn_patches",
+                  label_key: str = None, max_images: int = None,
+                  fontsize: int = 10) -> np.ndarray:
+    """Retrieved-neighbor grid, k patches per row — the reference
+    ImageNeighborPlotter
+    (/root/reference/rdm/models/autoregression/transformer.py:534-547).
+    With label_key (e.g. "human_label") each sample's rows get a caption
+    strip rendered above them (the class-name captions the reference
+    draws with its bundled DejaVuSans font). Returns one uint8 grid."""
+    x = np.asarray(batch[nn_key], np.float32)
+    if max_images is not None:
+        x = x[:max_images]
+    b, n, k, h, w, c = x.shape
+    labels = None
+    if label_key is not None and label_key in batch:
+        labels = [str(l) for l in batch[label_key][:b]]
+    rows = []
+    for bi in range(b):
+        patches = to_uint8(x[bi].reshape(n * k, h, w, c))
+        g = make_grid(patches, k)
+        if labels is not None:
+            strip = log_txt_as_img((g.shape[1], fontsize + 6),
+                                   [labels[bi]], fontsize=fontsize)[0]
+            g = np.concatenate([strip, g], axis=0)
+        rows.append(g)
+    return np.concatenate(rows, axis=0)
+
+
 def log_images(
     model: RDM,
     params,
@@ -67,6 +130,20 @@ def log_images(
                       dtype=jnp.float32)
     out: Dict[str, np.ndarray] = {}
     out["inputs"] = make_grid(to_uint8(images), n_row)
+
+    # conditioning visualizations (reference ddpm.py:524-529 + the
+    # patch_plotter hook, transformer.py:513-517): captions/class names
+    # as text tiles; retrieved neighbor patches as a labeled grid
+    for key in ("caption", "human_label"):
+        if key in batch:
+            txt = log_txt_as_img(
+                (images.shape[2], images.shape[1]),
+                list(batch[key][:max_images]))
+            out["conditioning"] = make_grid(txt, n_row)
+            break
+    if "nn_patches" in batch:
+        out["neighbors"] = neighbor_grid(
+            batch, label_key="human_label", max_images=max_images)
 
     # first-stage reconstruction
     z = first_stage.apply(first_stage_params, images,
