@@ -29,6 +29,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 def main():
     p = argparse.ArgumentParser()
+    p.add_argument("--model", type=str, default="rdm",
+                   choices=["rdm", "rarm"],
+                   help="rdm: 395M U-Net diffusion step; rarm: 170M AR "
+                        "transformer CE step")
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--remat", action="store_true", default=True)
     p.add_argument("--no-remat", dest="remat", action="store_false")
@@ -55,37 +59,56 @@ def main():
                           "backend_wait_s": gate["waited_s"]}))
         return
 
-    from rdm_tpu.models.rdm import RDM, RDMConfig
-    from rdm_tpu.ops.schedules import DiffusionSchedule
     from rdm_tpu.training.optim import make_optimizer
     from rdm_tpu.training.train_state import (
         init_train_state,
+        make_rarm_train_step,
         make_train_step,
     )
 
-    cfg = RDMConfig.imagenet()
-    model = RDM(cfg, dtype=jnp.bfloat16)
     B = opt.batch
-    x = jnp.zeros((1, 64, 64, 3))
-    shapes = jax.eval_shape(
-        model.init, jax.random.PRNGKey(0), x,
-        jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4, 512)))
     rng = np.random.default_rng(0)
-    params = jax.tree.map(
-        lambda s: jnp.asarray(
-            ((rng.random(s.shape, dtype=np.float32) - 0.5) * 0.05
-             if s.ndim >= 2 else np.zeros(s.shape, np.float32)),
-            dtype=s.dtype), shapes)
 
-    schedule = DiffusionSchedule.create(
-        cfg.timesteps, cfg.beta_schedule, cfg.linear_start, cfg.linear_end)
+    def synth(shapes):
+        return jax.tree.map(
+            lambda s: jnp.asarray(
+                ((rng.random(s.shape, dtype=np.float32) - 0.5) * 0.05
+                 if s.ndim >= 2 else np.zeros(s.shape, np.float32)),
+                dtype=s.dtype), shapes)
+
     tx = make_optimizer(1e-4, warm_up_steps=100, mu_dtype=opt.mu_dtype)
-    state = init_train_state(params, tx)
-    step = make_train_step(model, tx, schedule, remat=opt.remat,
-                           remat_policy=opt.policy)
+    if opt.model == "rdm":
+        from rdm_tpu.models.rdm import RDM, RDMConfig
+        from rdm_tpu.ops.schedules import DiffusionSchedule
 
-    z = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 3))
-    nns = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 4, 512))
+        cfg = RDMConfig.imagenet()
+        model = RDM(cfg, dtype=jnp.bfloat16)
+        x = jnp.zeros((1, 64, 64, 3))
+        params = synth(jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), x,
+            jnp.zeros((1,), jnp.int32), jnp.zeros((1, 4, 512))))
+        schedule = DiffusionSchedule.create(
+            cfg.timesteps, cfg.beta_schedule, cfg.linear_start,
+            cfg.linear_end)
+        step = make_train_step(model, tx, schedule, remat=opt.remat,
+                               remat_policy=opt.policy)
+        z = jax.random.normal(jax.random.PRNGKey(1), (B, 64, 64, 3))
+        nns = jax.random.normal(jax.random.PRNGKey(2), (B, 1, 4, 512))
+    else:
+        from rdm_tpu.models.rarm import RARM, RARMConfig
+
+        cfg = RARMConfig.imagenet_dogs()
+        model = RARM(cfg, dtype=jnp.bfloat16)
+        params = synth(jax.eval_shape(
+            model.init, jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.seq_len), jnp.int32),
+            jnp.zeros((1, 4, cfg.context_dim))))
+        step = make_rarm_train_step(model, tx, p_mask_max=0.1)
+        z = jax.random.randint(jax.random.PRNGKey(1), (B, cfg.seq_len),
+                               0, cfg.out_vocab)
+        nns = jax.random.normal(jax.random.PRNGKey(2),
+                                (B, 4, cfg.context_dim))
+    state = init_train_state(params, tx)
     key = jax.random.PRNGKey(3)
 
     print("compiling train step...", flush=True)
@@ -151,7 +174,7 @@ def main():
     except Exception as e:  # remote cost analysis can transiently drop
         print(f"# cost analysis unavailable: {e}", flush=True)
     print(json.dumps({
-        "metric": "rdm_train_samples_per_sec_per_chip",
+        "metric": f"{opt.model}_train_samples_per_sec_per_chip",
         "value": best,
         "unit": "samples/sec",
         "step_ms": round(B / best * 1e3, 2),
