@@ -122,6 +122,19 @@ def main():
     np.asarray(metrics["loss"])
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # BENCH_PROFILE_DIR: trace ONE warm train step and print the per-op
+    # device-time breakdown (same hook as bench.py — runs on the exact
+    # benched path, standalone profile scripts have wedged the tunnel)
+    profile_dir = os.environ.get("BENCH_PROFILE_DIR")
+    if profile_dir:
+        with jax.profiler.trace(profile_dir):
+            state, metrics = step(state, z, nns, key)
+            np.asarray(metrics["loss"])
+        from rdm_tpu.utils.profiling import trace_op_breakdown
+        res = trace_op_breakdown(profile_dir, top=30)
+        print(f"# trace total_ms={res['total_ms']} -> {profile_dir}",
+              flush=True)
+
     # >=3 independent windows, best reported; extra windows retried on a
     # transient sag so one tunnel hiccup doesn't poison the capture (same
     # contract as bench.py).

@@ -42,6 +42,11 @@ def parse_args():
     p.add_argument("--clip_ckpt", type=str, default=None,
                    help="adds CLIP image-image similarity to the report")
     p.add_argument("--random_init", action="store_true")
+    p.add_argument("--randomize_head", action="store_true",
+                   help="with --random_init: replace the zero-init eps "
+                        "head with random values so every serving mode "
+                        "produces non-degenerate trajectories (zero "
+                        "eps makes all modes trivially bit-identical)")
     p.add_argument("--modes", type=str, default="int8,reuse2,reuse3,reuse5",
                    help="comma list: int8, reuseN (encoder_reuse=N)")
     p.add_argument("-bs", "--batch_size", type=int, default=4)
@@ -65,6 +70,26 @@ def main():
     pipe = RDMPipeline.from_model_dir(
         opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
         clip_ckpt=opt.clip_ckpt, random_init=opt.random_init)
+    if opt.randomize_head:
+        # zero-init modules by NAME (numeric zero-checks would sync one
+        # device read per leaf through the tunnel): the eps head and the
+        # residual/proj zero-convs, so every block contributes and the
+        # serving modes produce non-degenerate trajectories
+        import jax
+        import jax.tree_util as jtu
+
+        zero_named = ("out_conv", "conv2", "proj_out")
+
+        def randomize(path, p):
+            names = {getattr(k, "key", None) for k in path}
+            if getattr(p, "ndim", 0) < 2 or not names & set(zero_named) \
+                    or "bias" in {getattr(k, "key", None) for k in path}:
+                return p
+            key = jax.random.PRNGKey(hash(str(path)) % (2 ** 31))
+            return (jax.random.normal(key, p.shape) * 0.02).astype(p.dtype)
+
+        pipe.params = jax.jit(lambda t: jtu.tree_map_with_path(
+            randomize, t))(pipe.params)
     if pipe.retrieval is None:
         raise SystemExit("quality_eval needs a database (fixed neighbor "
                          "batch)")
