@@ -73,16 +73,34 @@ def make_optimizer(
     accumulate_steps: int = 1,
     schedule_name: str = "lambda_linear",
     mu_dtype: Optional[str] = None,
+    fused_update: bool = False,
 ) -> optax.GradientTransformation:
     """mu_dtype="bfloat16" stores the Adam FIRST moment in bf16 (halving
     its HBM: ~0.8 GB on the 395M flagship). The second moment stays f32 —
     v's magnitude spans grad^2 scales where bf16's 8 mantissa bits inject
     visible LR noise, while m is a smoothed gradient average that
-    tolerates them (standard large-model practice)."""
+    tolerates them (standard large-model practice).
+
+    fused_update=True runs the Adam/EMA math over ONE flattened
+    parameter vector (optax.flatten). Motivation: the round-4 train-step
+    trace shows the per-leaf update lowering to 652 separate pointwise
+    ops costing 51 ms/step (~21%) where the state's HBM traffic
+    justifies ~12 ms. MEASURED NO-GO on v5e (flagship b32 no-remat
+    pipelined): 94.5 samples/s vs 120.7 per-leaf — the grad concat +
+    update re-slice copies (2x ~1.6 GB each way) cost more than the
+    per-leaf dispatch overhead they remove, and XLA does not elide them
+    around the flat buffer. Kept default-off for A/B on other op points
+    (mathematically identical, parity-tested; NOTE the optimizer STATE
+    layout becomes a flat vector, so checkpoints are not interchangeable
+    with the per-leaf layout). The real fix for the 652-op tail would be
+    a Pallas multi-buffer update kernel that walks leaves in-place —
+    future work."""
     schedule = SCHEDULES[schedule_name](base_lr,
                                         warm_up_steps=warm_up_steps)
     tx = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
                      mu_dtype=jnp.dtype(mu_dtype) if mu_dtype else None)
+    if fused_update:
+        tx = optax.flatten(tx)
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if accumulate_steps > 1:

@@ -43,6 +43,9 @@ def main():
     p.add_argument("--mu_dtype", type=str, default=None,
                    choices=[None, "bfloat16"],
                    help="Adam first-moment storage dtype")
+    p.add_argument("--fused_opt", action="store_true",
+                   help="flattened single-vector Adam/EMA update "
+                        "(optax.flatten — see make_optimizer)")
     p.add_argument("--pipelined", action="store_true",
                    help="sync once at the end (steady-state trainer "
                         "shape) instead of per step")
@@ -76,7 +79,8 @@ def main():
                  if s.ndim >= 2 else np.zeros(s.shape, np.float32)),
                 dtype=s.dtype), shapes)
 
-    tx = make_optimizer(1e-4, warm_up_steps=100, mu_dtype=opt.mu_dtype)
+    tx = make_optimizer(1e-4, warm_up_steps=100, mu_dtype=opt.mu_dtype,
+                        fused_update=opt.fused_opt)
     if opt.model == "rdm":
         from rdm_tpu.models.rdm import RDM, RDMConfig
         from rdm_tpu.ops.schedules import DiffusionSchedule
@@ -194,6 +198,7 @@ def main():
         "batch": B,
         "remat": opt.remat,
         "pipelined": opt.pipelined,
+        "fused_opt": opt.fused_opt,
         "mfu": round(mfu, 4) if mfu is not None else None,
         "flops_per_sample": flops_per_sample,
         "trials": trials,

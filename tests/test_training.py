@@ -178,3 +178,37 @@ def test_train_step_fsdp_matches_replicated():
                     jax.tree.leaves(sf.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-5)
+
+
+def test_fused_optimizer_update_matches_per_leaf():
+    """optax.flatten fused update (make_optimizer(fused_update=True))
+    must produce bit-comparable parameters to the per-leaf update — the
+    round-4 trace lever for the 652-op optimizer pointwise tail."""
+    cfg = tiny_rdm()
+    model = RDM(cfg)
+    x = jnp.zeros((2, 4, 4, 2))
+    params = model.init(jax.random.PRNGKey(0), x, jnp.asarray([0, 1]),
+                        jnp.zeros((2, 2, 8)))
+    schedule = DiffusionSchedule.create(cfg.timesteps, "linear", 0.0015,
+                                        0.0195)
+    rng = jax.random.PRNGKey(7)
+    z = jax.random.normal(jax.random.PRNGKey(8), (4, 4, 4, 2))
+    nns = jax.random.normal(jax.random.PRNGKey(9), (4, 1, 2, 8))
+
+    states = {}
+    for fused in (False, True):
+        tx = make_optimizer(1e-3, warm_up_steps=2, fused_update=fused)
+        # fresh buffers per branch: the jitted step donates the state, so
+        # the first branch consumes anything shared
+        state = init_train_state(
+            jax.tree.map(lambda p: jnp.array(np.asarray(p)), params), tx)
+        step = make_train_step(model, tx, schedule, remat=False)
+        for _ in range(3):
+            state, m = step(state, z, nns, rng)
+        states[fused] = (state, float(m["loss"]))
+    np.testing.assert_allclose(states[False][1], states[True][1],
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(states[False][0].params),
+                    jax.tree.leaves(states[True][0].params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
