@@ -48,7 +48,7 @@ def parse_args():
                         "produces non-degenerate trajectories (zero "
                         "eps makes all modes trivially bit-identical)")
     p.add_argument("--modes", type=str, default="int8,reuse2,reuse3,reuse5",
-                   help="comma list: int8, reuseN (encoder_reuse=N)")
+                   help="comma list: int8, reuseN, int8+reuseN")
     p.add_argument("-bs", "--batch_size", type=int, default=4)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--guidance_scale", type=float, default=2.0)
@@ -116,13 +116,18 @@ def main():
     row_names = ["exact_bf16"]
     for mode in [m.strip() for m in opt.modes.split(",") if m.strip()]:
         print(f"running mode {mode}...", flush=True)
-        if mode == "int8":
-            var = pipe.fidelity_run(neighbors, int8=True, **common)
-        elif mode.startswith("reuse"):
-            var = pipe.fidelity_run(neighbors,
-                                    encoder_reuse=int(mode[5:]), **common)
-        else:
-            raise SystemExit(f"unknown mode '{mode}'")
+        # modes: "int8", "reuseN", or combined "int8+reuseN"
+        parts = set(mode.split("+"))
+        int8 = "int8" in parts
+        parts.discard("int8")
+        reuse = 1
+        if parts:
+            (r,) = parts
+            if not r.startswith("reuse"):
+                raise SystemExit(f"unknown mode '{mode}'")
+            reuse = int(r[5:])
+        var = pipe.fidelity_run(neighbors, int8=int8,
+                                encoder_reuse=reuse, **common)
         report["modes"][mode] = compare_runs(
             exact, var, clip_model=pipe.clip, clip_params=pipe.clip_params)
         rows.append(var["images"])

@@ -137,3 +137,9 @@ def test_fidelity_int8_envelope(tiny_pipe):
     assert rec["pred_x0_cosine_min"] > 0.95
     assert rec["latent_cosine"] > 0.95
     assert rec["image_psnr_db"] > 20.0
+    # the modes compose: int8 + encoder-reuse in one run
+    combo = pipe.fidelity_run(neighbors, steps=4, seed=0, int8=True,
+                              encoder_reuse=2)
+    rec2 = compare_runs(exact, combo)
+    assert rec2["latent_cosine"] > 0.9
+    assert np.isfinite(rec2["image_psnr_db"])
