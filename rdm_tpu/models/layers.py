@@ -491,6 +491,18 @@ class CrossAttention(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _sow_absmax(self, name, t):
+        # int8 calibration (ops/quant.py): record the max-abs of the
+        # tensors the fused int8 block kernels quantize — the projection
+        # input (post-LN) and the attention output. No-op outside
+        # quant.calibrate()/mutable intermediates.
+        from rdm_tpu.ops import quant as _quant
+        if _quant.CALIBRATE:
+            self.sow("intermediates", name,
+                     jnp.max(jnp.abs(t.astype(jnp.float32))),
+                     reduce_fn=lambda a, b: jnp.maximum(a, b),
+                     init_fn=lambda: jnp.float32(0))
+
     @nn.compact
     def __call__(self, x, context=None, *, mask=None, deterministic: bool = True):
         inner = self.heads * self.head_dim
@@ -499,6 +511,7 @@ class CrossAttention(nn.Module):
             inner, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
             name=name,
         )
+        self._sow_absmax("act_absmax", x)
         q = _dense_2d(dense("to_q"), x)
         k = _dense_2d(dense("to_k"), ctx)
         v = _dense_2d(dense("to_v"), ctx)
@@ -511,6 +524,7 @@ class CrossAttention(nn.Module):
             q, k, v, causal=self.causal and context is None, mask=mask
         )
         out = out.reshape(b, sq, inner)
+        self._sow_absmax("out_absmax", out)
         out = _dense_2d(nn.Dense(
             x.shape[-1], dtype=self.dtype, param_dtype=jnp.float32,
             name="to_out"), out)
@@ -524,15 +538,26 @@ class GEGLUFeedForward(nn.Module):
     dropout: float = 0.0
     dtype: Dtype = jnp.float32
 
+    def _sow_absmax(self, name, t):
+        # int8 calibration record (see CrossAttention._sow_absmax)
+        from rdm_tpu.ops import quant as _quant
+        if _quant.CALIBRATE:
+            self.sow("intermediates", name,
+                     jnp.max(jnp.abs(t.astype(jnp.float32))),
+                     reduce_fn=lambda a, b: jnp.maximum(a, b),
+                     init_fn=lambda: jnp.float32(0))
+
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         dim = x.shape[-1]
         inner = dim * self.mult
+        self._sow_absmax("act_absmax", x)
         h = _dense_2d(nn.Dense(
             inner * 2, dtype=self.dtype, param_dtype=jnp.float32,
             name="proj_in"), x)
         a, gate = jnp.split(h, 2, axis=-1)
         h = a * nn.gelu(gate, approximate=False)  # exact erf, torch parity
+        self._sow_absmax("hidden_absmax", h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return _dense_2d(nn.Dense(
             dim, dtype=self.dtype, param_dtype=jnp.float32, name="proj_out"
@@ -666,7 +691,12 @@ class FusedTransformerBlock(nn.Module):
                 wv, _ = _KernParams(self.ctx, inner, name="to_v")()
                 wo, bo = _KernParams(inner, c, use_bias=True,
                                      name="to_out")()
-                return wq, wk, wv, wo, bo
+                # int8 serving: the calibrated act absmax ride in the
+                # "quant" collection at this module's path (sown by the
+                # unfused CrossAttention during quant.calibrate())
+                qa = self.get_variable("quant", "act_absmax", None)
+                qo = self.get_variable("quant", "out_absmax", None)
+                return wq, wk, wv, wo, bo, qa, qo
 
         class _FF(nn.Module):
             @nn.compact
@@ -676,14 +706,22 @@ class FusedTransformerBlock(nn.Module):
                                      name="proj_in")()
                 w2, b2 = _KernParams(ffd, c, use_bias=True,
                                      name="proj_out")()
-                return w1, b1, w2, b2
+                qa = self.get_variable("quant", "act_absmax", None)
+                qh = self.get_variable("quant", "hidden_absmax", None)
+                return w1, b1, w2, b2, qa, qh
 
         n1s, n1b = _LNParams(c, name="norm1")()
-        wq, wk, wv, wo, bo = _Attn(c, name="attn1")()
+        wq, wk, wv, wo, bo, q_a1, q_o1 = _Attn(c, name="attn1")()
         n2s, n2b = _LNParams(c, name="norm2")()
-        wq2, wk2, wv2, wo2, bo2 = _Attn(ctx_dim, name="attn2")()
+        wq2, wk2, wv2, wo2, bo2, q_a2, q_o2 = _Attn(ctx_dim,
+                                                    name="attn2")()
         n3s, n3b = _LNParams(c, name="norm3")()
-        w1, b1, w2, b2 = _FF(name="ff")()
+        w1, b1, w2, b2, q_a3, q_h3 = _FF(name="ff")()
+        qvals = (q_a1, q_o1, q_a2, q_o2, q_a3, q_h3)
+        qscales = None
+        if all(v is not None for v in qvals):
+            qscales = dict(zip(("a_qkv", "o_attn1", "a_attn2", "o_attn2",
+                                "a_ff", "h_ff"), qvals))
 
         row = lambda p: p.reshape(1, -1).astype(jnp.float32)
         ffd = c * 4
@@ -721,10 +759,21 @@ class FusedTransformerBlock(nn.Module):
             self.interpret
 
         def fn(xb, ckb, cvb, wb):
+            qs = wb.pop("__qscales__", None) if isinstance(wb, dict) \
+                else None
             return fused_transformer_block(
                 xb, ckb, cvb, wb, heads=heads, head_dim=head_dim,
-                interpret=interpret)
+                interpret=interpret, qscales=qs)
 
+        if qscales is not None:
+            # scalars ride inside the weights operand (replicated under
+            # the batch-partitioning wrapper like every other weight)
+            weights = dict(weights)
+            # (1,1)-shaped: the batch-partitioning wrapper has no scalar
+            # operand support, and the kernels consume [1,1] refs anyway
+            weights["__qscales__"] = {
+                k: jnp.asarray(v, jnp.float32).reshape(1, 1)
+                for k, v in qscales.items()}
         return call_batch_partitioned(
             fn, (x.astype(dt), ck, cv, weights), (0, 0, 0, None))
 
@@ -760,8 +809,13 @@ class SpatialTransformer(nn.Module):
                             name="proj_out")
         x = proj_in(x)
         x = x.reshape(b, h * w, inner)
+        from rdm_tpu.ops import quant as _quant
+        # calibration must run the UNFUSED blocks: the fused kernels
+        # neither sow act absmax nor need to be calibrated against
+        # themselves (ops/quant.py)
         fused = (context is not None and deterministic
                  and 128 % self.head_dim == 0
+                 and not _quant.CALIBRATE
                  and use_fused_spatial_block())
         for i in range(self.depth):
             if fused:

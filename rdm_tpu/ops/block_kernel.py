@@ -75,6 +75,50 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+# --------------------------------------------------------- int8 helpers
+#
+# Serving-mode weight+activation int8 for the block matmuls (round 4).
+# Slope-timed Pallas probe on v5e ([4096,512]x[512,1024] chained through
+# a fori_loop): bf16 dot 175 TFLOP/s (89% peak) vs int8 355 TOP/s (90%
+# of the 394 int8 peak) — a true 2.03x MXU rate. The int8 pipeline trace
+# shows these bf16 kernels at 48% of device time once the convs are
+# int8, so they are the remaining serving lever. Activations quantize
+# in-kernel with STATIC calibrated scales (ops/quant.py — the same
+# dynamic-requant-is-a-no-go measurement as the convs); weights
+# per-output-column; the attention core (kernel 2) and the per-image
+# cross-attention block matrices stay bf16 (quality-sensitive, small).
+
+
+def _quantize_act(h, a_ref):
+    """f32 activations -> int8 with the static scale a_ref [1,1] f32."""
+    inv = 1.0 / a_ref[0, 0]
+    return jnp.clip(jnp.round(h.astype(jnp.float32) * inv),
+                    -127.0, 127.0).astype(jnp.int8)
+
+
+def _qdot(h, w_ref, ws_ref, a_ref):
+    """Quantize-h int8 x int8 dot, dequant on the output.
+
+    h [M, K] f32/bf16, w_ref [K, N] int8, ws_ref [1, N] f32 per-column
+    weight scale, a_ref [1, 1] f32 activation scale. Returns [M, N] f32.
+    """
+    hq = _quantize_act(h, a_ref)
+    y = jax.lax.dot_general(
+        hq, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * (a_ref[0, 0] * ws_ref[...])
+
+
+def quantize_cols(w: jnp.ndarray):
+    """[K, N] weights -> (int8 codes, [1, N] f32 per-column scale).
+    All-zero (lane-padding) columns get scale eps and zero codes."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=0, keepdims=True),
+                    jnp.float32(1e-12)) / 127.0
+    q = jnp.clip(jnp.round(wf / s), -127.0, 127.0).astype(jnp.int8)
+    return q, s
+
+
 # ---------------------------------------------------------------- kernel 1
 
 def _ln_qkv_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, q_ref, k_ref, v_ref,
@@ -84,6 +128,18 @@ def _ln_qkv_kernel(x_ref, n1s_ref, n1b_ref, wqkv_ref, q_ref, k_ref, v_ref,
     x [M, C] -> q/k/v [M, Cp] (Cp = heads padded to 128-lane groups)."""
     h = _layer_norm(x_ref[...], n1s_ref[...], n1b_ref[...])
     qkv = _dot(h, wqkv_ref[...])            # [M, 3Cp] f32
+    dt = q_ref.dtype
+    q_ref[...] = qkv[:, :cp].astype(dt)
+    k_ref[...] = qkv[:, cp:2 * cp].astype(dt)
+    v_ref[...] = qkv[:, 2 * cp:].astype(dt)
+
+
+def _ln_qkv_kernel_q(x_ref, n1s_ref, n1b_ref, wqkv_ref, ws_ref, a_ref,
+                     q_ref, k_ref, v_ref, *, cp: int):
+    """int8 variant of _ln_qkv_kernel: the LN output quantizes with the
+    calibrated static scale, the qkv projection runs int8 on the MXU."""
+    h = _layer_norm(x_ref[...], n1s_ref[...], n1b_ref[...])
+    qkv = _qdot(h, wqkv_ref, ws_ref, a_ref)  # [M, 3Cp] f32
     dt = q_ref.dtype
     q_ref[...] = qkv[:, :cp].astype(dt)
     k_ref[...] = qkv[:, cp:2 * cp].astype(dt)
@@ -266,6 +322,32 @@ def _post_cross_kernel(x_ref, attn_ref, wk_ref, wv_ref, g_ref, segt_ref,
                         + bo2_ref[...]).astype(x.dtype)
 
 
+def _post_cross_kernel_q(x_ref, attn_ref, wk_ref, wv_ref, g_ref, segt_ref,
+                         wo_ref, wso_ref, ao_ref, bo_ref, n2s_ref, n2b_ref,
+                         wq2_ref, wsq2_ref, aq2_ref, wo2_ref, wso2_ref,
+                         ao2_ref, bo2_ref, xmid_ref, *, n_real: int):
+    """int8 variant of _post_cross_kernel: wo/wq2/wo2 run int8 (packed
+    attention output, LN2 output, and cross-attn output quantize with
+    their calibrated scales); the per-image cross score/value matmuls
+    stay bf16."""
+    x = x_ref[0]
+    x1 = x + (_qdot(attn_ref[0], wo_ref, wso_ref, ao_ref)
+              + bo_ref[...]).astype(x.dtype)
+    h2 = _layer_norm(x1, n2s_ref[...], n2b_ref[...])
+    q2 = _qdot(h2, wq2_ref, wsq2_ref, aq2_ref).astype(x.dtype)   # [M, C]
+    s = _dot(q2, wk_ref[0])                               # [M, P] f32
+    lane = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(lane < n_real, s, _NEG_INF)
+    mrow = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(jnp.maximum(s - mrow, -75.0)).astype(x.dtype)  # [M, P]
+    den = _dot(p, g_ref[...])                             # [M, H] f32
+    num = _dot(p, wv_ref[0])                              # [M, C] f32
+    den_full = _dot(den.astype(x.dtype), segt_ref[...])   # [M, C] f32
+    attn2 = num / den_full                                # f32
+    xmid_ref[0] = x1 + (_qdot(attn2, wo2_ref, wso2_ref, ao2_ref)
+                        + bo2_ref[...]).astype(x.dtype)
+
+
 def _geglu_ff_kernel(xm_ref, n3s_ref, n3b_ref, wa_ref, wg_ref, ba_ref,
                      bg_ref, w2_ref, b2_ref, y_ref, h3_ref, acc_ref,
                      *, n_col_blocks: int):
@@ -284,6 +366,50 @@ def _geglu_ff_kernel(xm_ref, n3s_ref, n3b_ref, wa_ref, wg_ref, ba_ref,
     f = (a * (0.5 * g * (1.0 + _erf(g * jnp.float32(0.7071067811865476))))
          ).astype(h3.dtype)
     part = _dot(f, w2_ref[...])
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[...] += part
+
+    @pl.when(j == n_col_blocks - 1)
+    def _():
+        y_ref[...] = xm_ref[...] + (acc_ref[...]
+                                    + b2_ref[...]).astype(xm_ref.dtype)
+
+
+def _geglu_ff_kernel_q(xm_ref, n3s_ref, n3b_ref, wa_ref, wsa_ref, wg_ref,
+                       wsg_ref, ba_ref, bg_ref, w2_ref, ws2_ref, a3_ref,
+                       ah_ref, b2_ref, y_ref, h3_ref, acc_ref,
+                       *, n_col_blocks: int):
+    """int8 variant of _geglu_ff_kernel: wa/wg/w2 run int8. The LN3
+    output quantizes once into the int8 scratch (reused across column
+    blocks); the gated hidden activation quantizes per block with the
+    calibrated hidden scale. wsa/wsg slices follow the column blocks;
+    ws2 is the full per-output-channel scale row."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        h3 = _layer_norm(xm_ref[...], n3s_ref[...], n3b_ref[...])
+        h3_ref[...] = _quantize_act(h3, a3_ref)
+
+    h3q = h3_ref[...]
+    a3 = a3_ref[0, 0]
+
+    def qdot_pre(w_ref, ws_ref):
+        y = jax.lax.dot_general(
+            h3q, w_ref[...], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * (a3 * ws_ref[...])
+
+    a = qdot_pre(wa_ref, wsa_ref) + ba_ref[...]
+    g = qdot_pre(wg_ref, wsg_ref) + bg_ref[...]
+    f = a * (0.5 * g * (1.0 + _erf(g * jnp.float32(0.7071067811865476))))
+    part = _qdot(f, w2_ref, ws2_ref, ah_ref)
 
     @pl.when(j == 0)
     def _():
@@ -378,6 +504,7 @@ def fused_transformer_block(
     head_dim: int,
     interpret: bool = False,
     split_k3: bool | None = None,
+    qscales: Dict[str, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
     """One fused pre-LN transformer block (self-attn -> cross-attn ->
     GEGLU FF, each residual) — semantics of models.layers.TransformerBlock
@@ -387,6 +514,13 @@ def fused_transformer_block(
       n1s/n1b/n2s/n2b/n3s/n3b [1, C]; wqkv [C, 3*Cp]; wo [Cp, C];
       bo/bo2/b2 [1, C]; wq2 [C, C]; wo2 [C, C]; wa/wg [C, F]; ba/bg
       [1, F]; w2 [F, C].
+
+    qscales (int8 serving, see the int8-helpers block comment): dict of
+    calibrated act ABSMAX scalars {a_qkv, o_attn1, a_attn2, o_attn2,
+    a_ff, h_ff} — when given, the block matmuls run weight+activation
+    int8 (weights quantized here per output column; loop-invariant, XLA
+    hoists the quantization out of the sampling scan). Forces the split
+    kernel-3 path.
     """
     b, s, c = x.shape
     assert heads * head_dim == c, (heads, head_dim, c)
@@ -395,6 +529,9 @@ def fused_transformer_block(
     dt = x.dtype
     x2 = x.reshape(b * s, c)
     r = b * s
+
+    def act_scale(name):
+        return (qscales[name].astype(jnp.float32) / 127.0).reshape(1, 1)
 
     # -- kernel 1: LN1 + packed qkv --------------------------------------
     m_a = 512 if cp <= 512 else 256
@@ -405,14 +542,26 @@ def fused_transformer_block(
                           memory_space=pltpu.VMEM)
     row_out = pl.BlockSpec((m_a, cp), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
+    if qscales is not None:
+        wqkv_q, ws_qkv = quantize_cols(w["wqkv"])
+        kern1 = functools.partial(_ln_qkv_kernel_q, cp=cp)
+        extra_in = [_full(ws_qkv.shape, 1), _full((1, 1), 1)]
+        args1 = (x2, w["n1s"], w["n1b"], wqkv_q, ws_qkv,
+                 act_scale("a_qkv"))
+        wspec1 = _full(wqkv_q.shape, 1)
+    else:
+        kern1 = functools.partial(_ln_qkv_kernel, cp=cp)
+        extra_in = []
+        args1 = (x2, w["n1s"], w["n1b"], w["wqkv"])
+        wspec1 = _full(w["wqkv"].shape, 1)
     q, k, v = pl.pallas_call(
-        functools.partial(_ln_qkv_kernel, cp=cp),
+        kern1,
         grid=(r // m_a,),
         in_specs=[
             row_in,
             _full(w["n1s"].shape, 1), _full(w["n1b"].shape, 1),
-            _full(w["wqkv"].shape, 1),
-        ],
+            wspec1,
+        ] + extra_in,
         out_specs=(row_out, row_out, row_out),
         out_shape=(out_rcp, out_rcp, out_rcp),
         cost_estimate=pl.CostEstimate(
@@ -420,7 +569,7 @@ def fused_transformer_block(
             bytes_accessed=r * c * 2 * 4 + w["wqkv"].size * 2,
             transcendentals=0),
         interpret=interpret,
-    )(x2, w["n1s"], w["n1b"], w["wqkv"])
+    )(*args1)
 
     # -- kernel 2: packed-lane flash attention ---------------------------
     q = q.reshape(b, s, cp)
@@ -469,9 +618,10 @@ def fused_transformer_block(
     # -- kernel 3: out-proj + cross-attn + GEGLU FF ----------------------
     if split_k3 is None:
         split_k3 = os.environ.get("RDM_TPU_SPLIT_K3", "1") != "0"
-    if split_k3:
+    if qscales is not None or split_k3:
         return _split_post_ff(x, attn, ck, cv, w, heads=heads,
-                              head_dim=head_dim, interpret=interpret)
+                              head_dim=head_dim, interpret=interpret,
+                              qscales=qscales)
     ff = w["wa"].shape[1]
     s_ctx = ck.shape[1]
     seg, segt = head_segment_matrices(heads, head_dim, dtype=dt)
@@ -540,9 +690,10 @@ def fused_transformer_block(
 
 
 def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
-                   interpret: bool) -> jnp.ndarray:
+                   interpret: bool, qscales=None) -> jnp.ndarray:
     """Split kernel-3 path (default; see the kernel-3-split comment block
-    for the measured matrix and the RDM_TPU_SPLIT_K3=0 revert)."""
+    for the measured matrix and the RDM_TPU_SPLIT_K3=0 revert).
+    qscales engages the int8 kernel variants (module int8-helpers ADR)."""
     b, s, c = x.shape
     cp = _round_up(c, 128)
     ff = w["wa"].shape[1]
@@ -551,6 +702,9 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
     _, segt = head_segment_matrices(heads, head_dim, dtype=dt)
     wk, wv, g = make_cross_mats(ck, cv, heads, head_dim, scale)
     p = wk.shape[2]
+
+    def act_scale(name):
+        return (qscales[name].astype(jnp.float32) / 127.0).reshape(1, 1)
 
     # -- 3a: out-proj + cross-attn, grid (B, S_tiles) --------------------
     m_c = min(512, s)
@@ -571,14 +725,39 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
                             memory_space=pltpu.VMEM)
 
     r = b * s
+    if qscales is not None:
+        wo_q, wso = quantize_cols(w["wo"])
+        wq2_q, wsq2 = quantize_cols(w["wq2"])
+        wo2_q, wso2 = quantize_cols(w["wo2"])
+        kern3a = functools.partial(_post_cross_kernel_q,
+                                   n_real=heads * ck.shape[1])
+        in3a = [xspec, aspec, wkspec, wvspec, const2(g.shape),
+                const2(segt.shape),
+                const2(wo_q.shape), const2(wso.shape), const2((1, 1)),
+                const2(w["bo"].shape), const2(w["n2s"].shape),
+                const2(w["n2b"].shape),
+                const2(wq2_q.shape), const2(wsq2.shape), const2((1, 1)),
+                const2(wo2_q.shape), const2(wso2.shape), const2((1, 1)),
+                const2(w["bo2"].shape)]
+        args3a = (x, attn, wk, wv, g, segt,
+                  wo_q, wso, act_scale("o_attn1"),
+                  w["bo"], w["n2s"], w["n2b"],
+                  wq2_q, wsq2, act_scale("a_attn2"),
+                  wo2_q, wso2, act_scale("o_attn2"), w["bo2"])
+    else:
+        kern3a = functools.partial(_post_cross_kernel,
+                                   n_real=heads * ck.shape[1])
+        in3a = [xspec, aspec, wkspec, wvspec, const2(g.shape),
+                const2(segt.shape), const2(w["wo"].shape),
+                const2(w["bo"].shape), const2(w["n2s"].shape),
+                const2(w["n2b"].shape), const2(w["wq2"].shape),
+                const2(w["wo2"].shape), const2(w["bo2"].shape)]
+        args3a = (x, attn, wk, wv, g, segt, w["wo"], w["bo"], w["n2s"],
+                  w["n2b"], w["wq2"], w["wo2"], w["bo2"])
     xmid = pl.pallas_call(
-        functools.partial(_post_cross_kernel, n_real=heads * ck.shape[1]),
+        kern3a,
         grid=(b, s // m_c),
-        in_specs=[xspec, aspec, wkspec, wvspec, const2(g.shape),
-                  const2(segt.shape), const2(w["wo"].shape),
-                  const2(w["bo"].shape), const2(w["n2s"].shape),
-                  const2(w["n2b"].shape), const2(w["wq2"].shape),
-                  const2(w["wo2"].shape), const2(w["bo2"].shape)],
+        in_specs=in3a,
         out_specs=xspec,
         out_shape=jax.ShapeDtypeStruct((b, s, c), dt),
         cost_estimate=pl.CostEstimate(
@@ -587,8 +766,7 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
                             + b * 2 * c * p) * 2 + r * (c + cp) * 2 * 2,
             transcendentals=r * p),
         interpret=interpret,
-    )(x, attn, wk, wv, g, segt, w["wo"], w["bo"], w["n2s"], w["n2b"],
-      w["wq2"], w["wo2"], w["bo2"])
+    )(*args3a)
 
     # -- 3b: LN3 + GEGLU FF over flattened rows, grid (R_tiles, J) -------
     # RDM_TPU_FF_ROWS: row-tile size knob (default 512) for on-TPU sweeps
@@ -619,6 +797,32 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
                             memory_space=pltpu.VMEM)
     col_out = pl.BlockSpec((fcol, c), lambda ti, ji: (ji, 0),
                            memory_space=pltpu.VMEM)
+    if qscales is not None:
+        wa_q, wsa = quantize_cols(w["wa"])
+        wg_q, wsg = quantize_cols(w["wg"])
+        w2_q, ws2 = quantize_cols(w["w2"])
+        y2 = pl.pallas_call(
+            functools.partial(_geglu_ff_kernel_q, n_col_blocks=n_col),
+            grid=(r // m, n_col),
+            in_specs=[rowspec, constf(w["n3s"].shape),
+                      constf(w["n3b"].shape),
+                      col_in, col_bias, col_in, col_bias,
+                      col_bias, col_bias, col_out, constf(ws2.shape),
+                      constf((1, 1)), constf((1, 1)),
+                      constf(w["b2"].shape)],
+            out_specs=rowspec,
+            out_shape=jax.ShapeDtypeStruct((r, c), dt),
+            scratch_shapes=[pltpu.VMEM((m, c), jnp.int8),
+                            pltpu.VMEM((m, c), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * r * c * 3 * ff,
+                bytes_accessed=(2 * c * ff + ff * c) + r * c * 2 * 2,
+                transcendentals=r * ff),
+            interpret=interpret,
+        )(xm2, w["n3s"], w["n3b"], wa_q, wsa, wg_q, wsg, w["ba"],
+          w["bg"], w2_q, ws2, act_scale("a_ff"), act_scale("h_ff"),
+          w["b2"])
+        return y2.reshape(b, s, c)
     y2 = pl.pallas_call(
         functools.partial(_geglu_ff_kernel, n_col_blocks=n_col),
         grid=(r // m, n_col),

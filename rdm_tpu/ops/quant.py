@@ -123,11 +123,18 @@ def quantize_conv_tree(variables, calib, *,
 
     def build(v, i):
         # the variables dict has a top-level "params" collection that the
-        # intermediates tree (pure module paths) does not — align them
+        # intermediates tree (pure module paths) does not — align them.
+        # The calibration tree itself rides along as a "quant" collection:
+        # the fused Pallas block path reads its attention/FF act absmax
+        # to quantize the transformer-block matmuls on the fly (weight
+        # quantization there is loop-invariant, so XLA hoists it out of
+        # the DDIM scan).
         if _is_mapping(v) and "params" in v \
                 and not (_is_mapping(i) and "params" in i):
-            return {k: (walk(val, i, "") if k == "params" else val)
-                    for k, val in v.items()}
+            out = {k: (walk(val, i, "") if k == "params" else val)
+                   for k, val in v.items()}
+            out["quant"] = i
+            return out
         return walk(v, i, "")
 
     # one jit for the whole tree: leaf-by-leaf dispatch costs a remote

@@ -173,3 +173,36 @@ def test_fused_block_shape_edges(heads, head_dim, s_ctx, ctx_dim):
     got = fused.apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-5, atol=3e-5)
+
+
+def test_fused_block_int8_parity():
+    """int8 serving variant: calibrate act absmax on the unfused path,
+    ride them in as a "quant" collection, and the fused kernels run
+    the block matmuls in weight+activation int8 within quantization
+    tolerance of the exact block."""
+    from rdm_tpu.ops import quant
+
+    heads, head_dim = 4, 32
+    ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=2, s=16,
+                              s_ctx=4, dtype=jnp.float32, seed=5)
+    with quant.calibrate():
+        want, inter = ref.apply(params, x, ctx,
+                                mutable=["intermediates"])
+    calib = inter["intermediates"]
+    for mod in ("attn1", "attn2", "ff"):
+        assert "act_absmax" in calib[mod], calib.keys()
+    variables = {**params, "quant": calib}
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  dtype=jnp.float32, interpret=True)
+    got = fused.apply(variables, x, ctx)
+    w = np.asarray(want, np.float32).ravel()
+    g = np.asarray(got, np.float32).ravel()
+    cos = float(w @ g / (np.linalg.norm(w) * np.linalg.norm(g)))
+    assert cos > 0.995, cos
+    rel = np.linalg.norm(g - w) / np.linalg.norm(w)
+    assert rel < 0.1, rel
+    # without the quant collection the same module runs the exact bf16
+    # kernels (bit-comparable to the parity tests above)
+    exact = fused.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
