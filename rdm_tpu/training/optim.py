@@ -83,18 +83,29 @@ def make_optimizer(
 
     fused_update=True runs the Adam/EMA math over ONE flattened
     parameter vector (optax.flatten). Motivation: the round-4 train-step
-    trace shows the per-leaf update lowering to 652 separate pointwise
-    ops costing 51 ms/step (~21%) where the state's HBM traffic
-    justifies ~12 ms. MEASURED NO-GO on v5e (flagship b32 no-remat
-    pipelined): 94.5 samples/s vs 120.7 per-leaf — the grad concat +
-    update re-slice copies (2x ~1.6 GB each way) cost more than the
-    per-leaf dispatch overhead they remove, and XLA does not elide them
-    around the flat buffer. Kept default-off for A/B on other op points
+    trace attributed 51 ms/step (~21%) to 652 per-leaf pointwise update
+    ops. MEASURED NO-GO on v5e (flagship b32 no-remat pipelined): 94.5
+    samples/s vs 120.7 per-leaf — the grad concat + update re-slice
+    copies (2x ~1.6 GB each way) cost more than the per-leaf dispatch
+    overhead they remove. Kept default-off for A/B on other op points
     (mathematically identical, parity-tested; NOTE the optimizer STATE
     layout becomes a flat vector, so checkpoints are not interchangeable
-    with the per-leaf layout). The real fix for the 652-op tail would be
-    a Pallas multi-buffer update kernel that walks leaves in-place —
-    future work."""
+    with the per-leaf layout).
+
+    Round-4 follow-up KILLED the whole leaf-packing direction with an
+    isolated microbench over the real 689-leaf flagship distribution
+    (Adam+EMA, m bf16, amortized in one donated fori_loop on v5e):
+    per-leaf 22.26 ms/step = ~78% of the ~17.4 ms HBM roofline for the
+    update's 14.2 GB of state traffic (36 B/param x 395M); packing
+    leaves <1 MB into persistent flat vectors 21.1-21.3 ms, <4 MB
+    (621 leaves, 390 MB) 20.6-21.9 ms, fully flat 20.21 ms — best case
+    9% of a ~22 ms phase, <1% end-to-end, and forcing the unpacked
+    views to materialize (the pessimistic forward-consumption model)
+    erases even that. Per-leaf dispatch is NOT a training bottleneck;
+    the trace's 51 ms over-attribution counted backward-pass pointwise
+    fusions that share op names with the update. A Pallas multi-buffer
+    update kernel could at best recover ~5 ms/step (~2%) — not worth
+    the surface."""
     schedule = SCHEDULES[schedule_name](base_lr,
                                         warm_up_steps=warm_up_steps)
     tx = optax.adamw(schedule, b1=b1, b2=b2, weight_decay=weight_decay,
