@@ -325,6 +325,15 @@ def main():
     compile_s = time.perf_counter() - _c0
     print(f"compile+warmup done in {compile_s:.1f}s", flush=True)
 
+    # BENCH_DUMP_HLO=<path>: write the compiled (post-optimization) HLO of
+    # the exact headline executable so trace fusion ids (fusion.NNN) can be
+    # mapped back to source ops when profiling.
+    hlo_path = os.environ.get("BENCH_DUMP_HLO")
+    if hlo_path:
+        with open(hlo_path, "w") as f:
+            f.write(pipeline_exe.as_text())
+        print(f"# compiled HLO -> {hlo_path}", flush=True)
+
     # BENCH_PROFILE_DIR: trace ONE warm pipeline run and print the per-op
     # device-time breakdown (utils.profiling.trace_op_breakdown). Runs on
     # the exact headline path — standalone forward-only profile scripts

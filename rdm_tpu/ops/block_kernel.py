@@ -452,6 +452,19 @@ def make_cross_mats(ck, cv, heads: int, head_dim: int, scale: float):
     return wk, wv, g
 
 
+def _env_pow2(name: str, default: int) -> int:
+    """Read a positive power-of-two tile knob from the environment
+    (on-TPU sweep hooks: RDM_TPU_FF_ROWS / _K1_ROWS / _K3A_ROWS /
+    _ATTN_BQ). Sanitized so a bad value can't zero a tile."""
+    try:
+        v = int(os.environ.get(name, str(default)))
+    except ValueError:
+        return default
+    if v < 1:
+        return default
+    return 1 << (v.bit_length() - 1)
+
+
 def _ff_col_blocks(c: int, ff: int, budget: int = 8 * 1024 * 1024,
                    fixed_bytes: int = 0) -> int:
     """Smallest column-block count keeping resident FF weights within
@@ -534,7 +547,8 @@ def fused_transformer_block(
         return (qscales[name].astype(jnp.float32) / 127.0).reshape(1, 1)
 
     # -- kernel 1: LN1 + packed qkv --------------------------------------
-    m_a = 512 if cp <= 512 else 256
+    m_a = _env_pow2("RDM_TPU_K1_ROWS", 512 if cp <= 512 else 256)
+    m_a = min(m_a, r)
     while r % m_a:
         m_a //= 2
     out_rcp = jax.ShapeDtypeStruct((r, cp), dt)
@@ -589,16 +603,31 @@ def fused_transformer_block(
         in_specs = [mspec, mspec, mspec]
         out_spec = mspec
     else:
-        bq = min(512, s)
+        bq = min(_env_pow2("RDM_TPU_ATTN_BQ", 512), s)
         while s % bq:
             bq //= 2
-        qspec = pl.BlockSpec((1, bq, 128),
+        # row-tiled grid can ALSO pack images per cell (leading block
+        # dim > 1, kernel loops it) — RDM_TPU_ATTN_NB sweep knob
+        nbq = _env_pow2("RDM_TPU_ATTN_NB", 1)
+        while nbq > 1 and b % nbq:
+            nbq //= 2
+        # scoped-VMEM guard: the kernel's f32 score scratch scales like
+        # nbq*bq*S (one [BQ,S] matrix per head per image, images
+        # unrolled) — nbq=2 at bq=512, S=1024 was measured to OOM the
+        # 16 MB scoped-vmem cap (17.53M). Keep nbq*bq at the proven
+        # default (512) budget by shrinking bq first, then nbq.
+        while nbq > 1 and nbq * bq > 512:
+            if bq > 128:
+                bq //= 2
+            else:
+                nbq //= 2
+        qspec = pl.BlockSpec((nbq, bq, 128),
                              lambda bi, gi, qi: (bi, qi, gi),
                              memory_space=pltpu.VMEM)
-        kvspec = pl.BlockSpec((1, s, 128),
+        kvspec = pl.BlockSpec((nbq, s, 128),
                               lambda bi, gi, qi: (bi, 0, gi),
                               memory_space=pltpu.VMEM)
-        grid = (b, g, s // bq)
+        grid = (b // nbq, g, s // bq)
         in_specs = [qspec, kvspec, kvspec]
         out_spec = qspec
     attn = pl.pallas_call(
@@ -707,7 +736,7 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
         return (qscales[name].astype(jnp.float32) / 127.0).reshape(1, 1)
 
     # -- 3a: out-proj + cross-attn, grid (B, S_tiles) --------------------
-    m_c = min(512, s)
+    m_c = min(_env_pow2("RDM_TPU_K3A_ROWS", 512), s)
     while s % m_c:
         m_c //= 2
     xspec = pl.BlockSpec((1, m_c, c), lambda bi, ti: (bi, ti, 0),
@@ -774,11 +803,7 @@ def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
     # Sanitized to a positive power of two so a bad env value can't zero
     # the tile (ZeroDivisionError) or collapse it to 1-row cells.
     xm2 = xmid.reshape(r, c)
-    m_env = int(os.environ.get("RDM_TPU_FF_ROWS", "512"))
-    if m_env < 1:
-        m_env = 512
-    m_env = 1 << (m_env.bit_length() - 1)
-    m = min(m_env, r)
+    m = min(_env_pow2("RDM_TPU_FF_ROWS", 512), r)
     while r % m:
         m //= 2
     n_col = _ff_col_blocks(c, ff)
