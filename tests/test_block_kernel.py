@@ -68,6 +68,32 @@ def test_attention_grid_variants(b, s, dtype, tol):
                                rtol=tol, atol=tol)
 
 
+@pytest.mark.parametrize("knobs,s", [
+    # small tiles on every kernel (row counts below the defaults)
+    ({"RDM_TPU_K1_ROWS": "128", "RDM_TPU_K3A_ROWS": "128",
+      "RDM_TPU_FF_ROWS": "128", "RDM_TPU_ATTN_BQ": "128"}, 512),
+    # multi-image packing on the row-tiled attention grid (nb>1);
+    # the VMEM guard must keep nb*bq within budget, parity unchanged
+    ({"RDM_TPU_ATTN_NB": "2"}, 512),
+    ({"RDM_TPU_ATTN_NB": "4", "RDM_TPU_ATTN_BQ": "256"}, 512),
+    # knobs are sanitized: non-pow2 rounds down, bad value -> default
+    ({"RDM_TPU_FF_ROWS": "300", "RDM_TPU_K1_ROWS": "bogus"}, 16),
+])
+def test_tile_knob_parity(knobs, s, monkeypatch):
+    # env tile-size overrides (TPU sweep hooks) keep exact parity
+    for k, v in knobs.items():
+        monkeypatch.setenv(k, v)
+    heads, head_dim = 4, 32
+    ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=4, s=s,
+                              s_ctx=4, dtype=jnp.float32, seed=7)
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  dtype=jnp.float32, interpret=True)
+    want = ref.apply(params, x, ctx)
+    got = fused.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
 def test_split_k3_matches_single_kernel():
     # the two kernel-3 formulations agree on identical inputs (f32 exact
     # within accumulation-order noise), including a non-4 context length
