@@ -614,13 +614,16 @@ def fused_transformer_block(
         # scoped-VMEM guard: the kernel's f32 score scratch scales like
         # nbq*bq*S (one [BQ,S] matrix per head per image, images
         # unrolled) — nbq=2 at bq=512, S=1024 was measured to OOM the
-        # 16 MB scoped-vmem cap (17.53M). Keep nbq*bq at the proven
-        # default (512) budget by shrinking bq first, then nbq.
-        while nbq > 1 and nbq * bq > 512:
+        # 16 MB scoped-vmem cap (17.53M), and bq=1024 alone at nbq=1
+        # likewise (17.44M). Keep nbq*bq at the proven default (512)
+        # budget by shrinking bq first, then nbq.
+        while nbq * bq > 512:
             if bq > 128:
                 bq //= 2
-            else:
+            elif nbq > 1:
                 nbq //= 2
+            else:
+                break
         qspec = pl.BlockSpec((nbq, bq, 128),
                              lambda bi, gi, qi: (bi, qi, gi),
                              memory_space=pltpu.VMEM)
