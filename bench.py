@@ -330,9 +330,15 @@ def main():
     # mapped back to source ops when profiling.
     hlo_path = os.environ.get("BENCH_DUMP_HLO")
     if hlo_path:
-        with open(hlo_path, "w") as f:
-            f.write(pipeline_exe.as_text())
-        print(f"# compiled HLO -> {hlo_path}", flush=True)
+        # never let a bad dump path kill the capture after the compile —
+        # the one-JSON-line contract outranks the debug artifact
+        try:
+            with open(hlo_path, "w") as f:
+                f.write(pipeline_exe.as_text())
+            print(f"# compiled HLO -> {hlo_path}", flush=True)
+        except OSError as e:
+            print(f"# BENCH_DUMP_HLO write failed ({e}); continuing",
+                  flush=True)
 
     # BENCH_PROFILE_DIR: trace ONE warm pipeline run and print the per-op
     # device-time breakdown (utils.profiling.trace_op_breakdown). Runs on

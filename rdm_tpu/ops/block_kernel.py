@@ -548,7 +548,9 @@ def fused_transformer_block(
 
     # -- kernel 1: LN1 + packed qkv --------------------------------------
     m_a = _env_pow2("RDM_TPU_K1_ROWS", 512 if cp <= 512 else 256)
-    m_a = min(m_a, r)
+    # pure halving to a divisor of r (no min(m_a, r) shortcut: for
+    # non-pow2 r < m_a that would silently switch to a grid=1 full-rows
+    # tile, an unmeasured VMEM-residency change — advisor r4)
     while r % m_a:
         m_a //= 2
     out_rcp = jax.ShapeDtypeStruct((r, cp), dt)
@@ -616,7 +618,13 @@ def fused_transformer_block(
         # unrolled) — nbq=2 at bq=512, S=1024 was measured to OOM the
         # 16 MB scoped-vmem cap (17.53M), and bq=1024 alone at nbq=1
         # likewise (17.44M). Keep nbq*bq at the proven default (512)
-        # budget by shrinking bq first, then nbq.
+        # budget by shrinking bq first, then nbq. nbq also multiplies
+        # the per-cell K/V residency ((nbq, s, 128) blocks), which the
+        # score budget does not model — cap nbq*s at the proven
+        # nbq=1, S=1024 point so a sweep knob cannot OOM via KV bytes
+        # at large S (advisor r4).
+        while nbq > 1 and nbq * s > 1024:
+            nbq //= 2
         while nbq * bq > 512:
             if bq > 128:
                 bq //= 2

@@ -68,30 +68,36 @@ def test_attention_grid_variants(b, s, dtype, tol):
                                rtol=tol, atol=tol)
 
 
-@pytest.mark.parametrize("knobs,s", [
+@pytest.mark.parametrize("knobs,s,dtype,tol", [
     # small tiles on every kernel (row counts below the defaults)
     ({"RDM_TPU_K1_ROWS": "128", "RDM_TPU_K3A_ROWS": "128",
-      "RDM_TPU_FF_ROWS": "128", "RDM_TPU_ATTN_BQ": "128"}, 512),
+      "RDM_TPU_FF_ROWS": "128", "RDM_TPU_ATTN_BQ": "128"}, 512,
+     jnp.float32, 3e-5),
     # multi-image packing on the row-tiled attention grid (nb>1);
     # the VMEM guard must keep nb*bq within budget, parity unchanged
-    ({"RDM_TPU_ATTN_NB": "2"}, 512),
-    ({"RDM_TPU_ATTN_NB": "4", "RDM_TPU_ATTN_BQ": "256"}, 512),
+    ({"RDM_TPU_ATTN_NB": "2"}, 512, jnp.float32, 3e-5),
+    # the serving dtype through the nbq>1 packing (advisor r4)
+    ({"RDM_TPU_ATTN_NB": "2"}, 512, jnp.bfloat16, 3e-2),
+    ({"RDM_TPU_ATTN_NB": "4", "RDM_TPU_ATTN_BQ": "256"}, 512,
+     jnp.float32, 3e-5),
     # knobs are sanitized: non-pow2 rounds down, bad value -> default
-    ({"RDM_TPU_FF_ROWS": "300", "RDM_TPU_K1_ROWS": "bogus"}, 16),
+    ({"RDM_TPU_FF_ROWS": "300", "RDM_TPU_K1_ROWS": "bogus"}, 16,
+     jnp.float32, 3e-5),
 ])
-def test_tile_knob_parity(knobs, s, monkeypatch):
+def test_tile_knob_parity(knobs, s, dtype, tol, monkeypatch):
     # env tile-size overrides (TPU sweep hooks) keep exact parity
     for k, v in knobs.items():
         monkeypatch.setenv(k, v)
     heads, head_dim = 4, 32
     ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=4, s=s,
-                              s_ctx=4, dtype=jnp.float32, seed=7)
+                              s_ctx=4, dtype=dtype, seed=7)
     fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
-                                  dtype=jnp.float32, interpret=True)
+                                  dtype=dtype, interpret=True)
     want = ref.apply(params, x, ctx)
     got = fused.apply(params, x, ctx)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=tol, atol=tol)
 
 
 def test_split_k3_matches_single_kernel():
