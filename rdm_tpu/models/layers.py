@@ -603,8 +603,7 @@ class TransformerBlock(nn.Module):
 # packed-lane flash attention, and out-proj+cross-attn+GEGLU run as three
 # Pallas kernels instead of conv-emitter Denses (round-2 profile: ~20 ms
 # of the 60.6 ms flagship forward at 10-45% per-op MXU efficiency).
-# Inference only — the kernels have no VJP; training keeps the standard
-# path. RDM_TPU_FUSED_BLOCK=0 reverts.
+# RDM_TPU_FUSED_BLOCK=0 reverts.
 def use_fused_spatial_block() -> bool:
     if os.environ.get("RDM_TPU_FUSED_BLOCK", "1") == "0":
         return False
@@ -612,6 +611,17 @@ def use_fused_spatial_block() -> bool:
         return jax.devices()[0].platform == "tpu"
     except RuntimeError:
         return False
+
+
+# Training forward through the same fused kernels via jax.custom_vjp
+# (Pallas fwd, flattened-2D XLA reference bwd —
+# block_kernel.fused_transformer_block_ad). Requires dropout == 0 (true
+# for every released RDM config). RDM_TPU_FUSED_BLOCK_TRAIN=0 reverts to
+# the standard path for A/B.
+def use_fused_spatial_block_train() -> bool:
+    if os.environ.get("RDM_TPU_FUSED_BLOCK_TRAIN", "1") == "0":
+        return False
+    return use_fused_spatial_block()
 
 
 class _KernParams(nn.Module):
@@ -660,7 +670,9 @@ class _LNLeaf(nn.Module):
 class FusedTransformerBlock(nn.Module):
     """TransformerBlock with the compute routed through the fused Pallas
     kernels (rdm_tpu.ops.block_kernel). Param tree identical to
-    TransformerBlock; inference only (no dropout, no VJP)."""
+    TransformerBlock. Inference runs the kernels directly; training
+    (deterministic=False, dropout must be 0) runs them under
+    jax.custom_vjp with a flattened-2D XLA-reference backward."""
 
     heads: int
     head_dim: int
@@ -673,7 +685,8 @@ class FusedTransformerBlock(nn.Module):
         from rdm_tpu.ops.block_kernel import (fused_transformer_block,
                                               pack_head_lanes)
 
-        assert deterministic, "fused block path is inference-only"
+        assert deterministic or self.dropout == 0.0, \
+            "fused training path requires dropout == 0"
         b, s, c = x.shape
         inner = self.heads * self.head_dim
         assert inner == c, (inner, c)
@@ -748,15 +761,27 @@ class FusedTransformerBlock(nn.Module):
         ctx = context.astype(dt)
         ck = jnp.einsum("bsd,dc->bsc", ctx, wk2.astype(dt))
         cv = jnp.einsum("bsd,dc->bsc", ctx, wv2.astype(dt))
+
+        heads, head_dim, interpret = self.heads, self.head_dim, \
+            self.interpret
+
+        if not deterministic:
+            # training: custom_vjp fused forward (partitioning rides
+            # INSIDE the custom_vjp — block_kernel ADR); int8 serving
+            # scales never apply to training
+            assert qscales is None, "int8 fused path is inference-only"
+            from rdm_tpu.ops.block_kernel import fused_transformer_block_ad
+
+            return fused_transformer_block_ad(
+                x.astype(dt), ck, cv, weights, heads=heads,
+                head_dim=head_dim, interpret=interpret)
+
         # batch-partitioned under a multi-device mesh: without the
         # custom_partitioning wrapper GSPMD all-gathers the DP-sharded
         # batch around the opaque pallas_calls (ops/partitioning.py).
         # plain positional closure: custom_partitioning rejects functions
         # whose signature leaves keyword(-only) arguments unresolved
         from rdm_tpu.ops.partitioning import call_batch_partitioned
-
-        heads, head_dim, interpret = self.heads, self.head_dim, \
-            self.interpret
 
         def fn(xb, ckb, cvb, wb):
             qs = wb.pop("__qscales__", None) if isinstance(wb, dict) \
@@ -812,11 +837,16 @@ class SpatialTransformer(nn.Module):
         from rdm_tpu.ops import quant as _quant
         # calibration must run the UNFUSED blocks: the fused kernels
         # neither sow act absmax nor need to be calibrated against
-        # themselves (ops/quant.py)
-        fused = (context is not None and deterministic
+        # themselves (ops/quant.py). Training (deterministic=False) takes
+        # the fused path through the custom_vjp wrapper when dropout is 0
+        # (every released RDM config) — RDM_TPU_FUSED_BLOCK_TRAIN=0
+        # reverts.
+        fused = (context is not None
                  and 128 % self.head_dim == 0
                  and not _quant.CALIBRATE
-                 and use_fused_spatial_block())
+                 and (use_fused_spatial_block() if deterministic
+                      else (self.dropout == 0.0
+                            and use_fused_spatial_block_train())))
         for i in range(self.depth):
             if fused:
                 x = FusedTransformerBlock(

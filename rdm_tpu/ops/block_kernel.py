@@ -729,6 +729,134 @@ def fused_transformer_block(
     return y
 
 
+# ------------------------------------------------ differentiable wrapper
+#
+# Training path (round 5): the same fused Pallas kernels run the
+# TRAINING forward via jax.custom_vjp — Pallas forward, XLA-reference
+# backward (the flash_attention.py:256-279 recipe). The backward is the
+# jax.vjp of `_xla_block_reference`, a mathematically identical unfused
+# block whose Dense contractions run on FLATTENED [B*S, C] operands:
+# inside this self-contained bwd subgraph the 2D forms lower as plain
+# MXU dots instead of the 10-45%-efficiency conv-emitter 3D dots of the
+# standard training path (the fwd-path DENSE_2D no-go does not apply —
+# the Pallas block boundary already pays its relayout either way).
+# Recompute-style: residuals are just (x, ck, cv, w).
+
+
+def _xla_block_reference(x, ck, cv, w, *, heads: int, head_dim: int):
+    """Unfused XLA block over the SAME packed weight dict as
+    `fused_transformer_block` (semantics: models.layers.TransformerBlock,
+    reference attention.py:77-96). Used as the custom_vjp backward."""
+    b, s, c = x.shape
+    cp = w["wo"].shape[0]
+    dt = x.dtype
+    scale = float(head_dim) ** -0.5
+
+    def ln(t2, sc, bi):
+        # models.layers._RawLayerNorm numerics: f32 stats, eps 1e-5,
+        # dtype-native arithmetic
+        xf = t2.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+                          - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + 1e-5)
+        y = (t2 - mean.astype(dt)) * inv.astype(dt)
+        return y * sc[0].astype(dt) + bi[0].astype(dt)
+
+    def mm(a2, w2):
+        return jax.lax.dot_general(
+            a2, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def attend(q4, k4, v4):
+        sc_ = jnp.einsum("bqhd,bkhd->bhqk", q4, k4,
+                         preferred_element_type=jnp.float32) * scale
+        p = jax.nn.softmax(sc_, axis=-1).astype(dt)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v4)
+
+    x2 = x.reshape(b * s, c)
+    # self-attention: packed wqkv's pad lanes are zero fill — the real
+    # head channels are the first c of each cp-wide third
+    h1 = ln(x2, w["n1s"], w["n1b"])
+    qkv = mm(h1, w["wqkv"]).astype(dt)               # [r, 3cp]
+    q = qkv[:, :c].reshape(b, s, heads, head_dim)
+    k = qkv[:, cp:cp + c].reshape(b, s, heads, head_dim)
+    v = qkv[:, 2 * cp:2 * cp + c].reshape(b, s, heads, head_dim)
+    a1 = attend(q, k, v).reshape(b * s, c)
+    x1 = x2 + (mm(a1, w["wo"][:c]) + w["bo"][0]).astype(dt)
+
+    # cross-attention over the pre-projected context k/v
+    t = ck.shape[1]
+    h2 = ln(x1, w["n2s"], w["n2b"])
+    q2 = mm(h2, w["wq2"]).astype(dt).reshape(b, s, heads, head_dim)
+    k2 = ck.reshape(b, t, heads, head_dim)
+    v2 = cv.reshape(b, t, heads, head_dim)
+    a2 = attend(q2, k2, v2).reshape(b * s, c)
+    x1 = x1 + (mm(a2, w["wo2"]) + w["bo2"][0]).astype(dt)
+
+    # GEGLU FF (exact-erf gelu, f32 pre-activation like the kernel)
+    h3 = ln(x1, w["n3s"], w["n3b"])
+    a = mm(h3, w["wa"]) + w["ba"][0]
+    g = mm(h3, w["wg"]) + w["bg"][0]
+    f = (a * (0.5 * g * (1.0 + jax.lax.erf(
+        g * jnp.float32(0.7071067811865476))))).astype(dt)
+    y = x1 + (mm(f, w["w2"]) + w["b2"][0]).astype(dt)
+    return y.reshape(b, s, c)
+
+
+def _fused_block_fwd_partitioned(x, ck, cv, w, heads, head_dim,
+                                 interpret):
+    """Fused forward, batch-partitioned over a multi-device mesh —
+    wrapped INSIDE the custom_vjp so differentiation stays on the defvjp
+    path (custom_partitioning ops have no VJP rule; same structure as
+    flash_attention._flash_forward_partitioned)."""
+    from rdm_tpu.ops.partitioning import call_batch_partitioned
+
+    def fn(xb, ckb, cvb, wb):
+        return fused_transformer_block(xb, ckb, cvb, wb, heads=heads,
+                                       head_dim=head_dim,
+                                       interpret=interpret)
+
+    return call_batch_partitioned(fn, (x, ck, cv, w), (0, 0, 0, None))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_block_ad(x, ck, cv, w, heads, head_dim, interpret):
+    return _fused_block_fwd_partitioned(x, ck, cv, w, heads, head_dim,
+                                        interpret)
+
+
+def _fused_block_ad_fwd(x, ck, cv, w, heads, head_dim, interpret):
+    return (_fused_block_fwd_partitioned(x, ck, cv, w, heads, head_dim,
+                                         interpret), (x, ck, cv, w))
+
+
+def _fused_block_ad_bwd(heads, head_dim, interpret, res, g):
+    x, ck, cv, w = res
+    _, vjp = jax.vjp(
+        functools.partial(_xla_block_reference, heads=heads,
+                          head_dim=head_dim), x, ck, cv, w)
+    return vjp(g)
+
+
+_fused_block_ad.defvjp(_fused_block_ad_fwd, _fused_block_ad_bwd)
+
+
+def fused_transformer_block_ad(
+    x: jnp.ndarray,
+    ck: jnp.ndarray,
+    cv: jnp.ndarray,
+    w: Dict[str, jnp.ndarray],
+    *,
+    heads: int,
+    head_dim: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable fused block: Pallas kernels forward, flattened-2D
+    XLA reference backward (training path; no int8, no dropout)."""
+    return _fused_block_ad(x, ck, cv, w, heads, head_dim, interpret)
+
+
 def _split_post_ff(x, attn, ck, cv, w, *, heads: int, head_dim: int,
                    interpret: bool, qscales=None) -> jnp.ndarray:
     """Split kernel-3 path (default; see the kernel-3-split comment block

@@ -164,6 +164,59 @@ def test_split_k3_all_negative_scores_no_nan():
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-2)
 
 
+@pytest.mark.parametrize("heads,head_dim,dtype,tol", [
+    (4, 32, jnp.float32, 2e-4),
+    (6, 32, jnp.float32, 2e-4),    # ragged pack: Cp=256
+    (4, 32, jnp.bfloat16, 5e-2),
+])
+def test_fused_block_training_grad_parity(heads, head_dim, dtype, tol):
+    """Training path (custom_vjp: Pallas fwd, 2D-XLA bwd): value AND
+    gradients wrt params/input/context match jax.grad of the standard
+    TransformerBlock within dtype tolerance."""
+    ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=2, s=16,
+                              s_ctx=4, dtype=dtype, seed=11)
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  dtype=dtype, interpret=True)
+    # a non-uniform cotangent via a weighted-sum loss
+    wgt = jax.random.normal(jax.random.PRNGKey(9), x.shape,
+                            jnp.float32).astype(dtype)
+
+    def loss(mod):
+        def f(p, x_, c_):
+            y = mod.apply(p, x_, c_, deterministic=False)
+            return jnp.sum((y * wgt).astype(jnp.float32))
+        return f
+
+    v_ref, g_ref = jax.value_and_grad(loss(ref), argnums=(0, 1, 2))(
+        params, x, ctx)
+    v_f, g_f = jax.value_and_grad(loss(fused), argnums=(0, 1, 2))(
+        params, x, ctx)
+    sc = max(1.0, abs(float(v_ref)))
+    assert abs(float(v_f) - float(v_ref)) / sc < tol
+    flat_ref = jax.tree.leaves_with_path(g_ref)
+    flat_f = jax.tree.leaves(g_f)
+    assert len(flat_ref) == len(flat_f)
+    for (path, a), b in zip(flat_ref, flat_f):
+        a = np.asarray(a, np.float32)
+        b = np.asarray(b, np.float32)
+        denom = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b / denom, a / denom, rtol=tol, atol=tol,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_fused_block_training_value_matches_inference():
+    # the custom_vjp primal is the SAME fused forward the inference path
+    # runs — bit-identical outputs
+    ref, params, x, ctx = _mk(4, 32, ctx_dim=64, b=2, s=16, s_ctx=4,
+                              dtype=jnp.float32, seed=13)
+    fused = FusedTransformerBlock(heads=4, head_dim=32,
+                                  dtype=jnp.float32, interpret=True)
+    y_inf = fused.apply(params, x, ctx, deterministic=True)
+    y_tr = fused.apply(params, x, ctx, deterministic=False)
+    np.testing.assert_array_equal(np.asarray(y_inf), np.asarray(y_tr))
+
+
 def test_param_trees_identical():
     heads, head_dim = 4, 32
     c = heads * head_dim
