@@ -616,10 +616,22 @@ def use_fused_spatial_block() -> bool:
 # Training forward through the same fused kernels via jax.custom_vjp
 # (Pallas fwd, flattened-2D XLA reference bwd —
 # block_kernel.fused_transformer_block_ad). Requires dropout == 0 (true
-# for every released RDM config). RDM_TPU_FUSED_BLOCK_TRAIN=0 reverts to
-# the standard path for A/B.
+# for every released RDM config).
+#
+# MEASURED NO-GO as a default on v5e (round 5, flagship b32 no-remat
+# bf16-mu pipelined): 83.9 samples/s at 31.7% MFU vs 120.5 at 37.5% for
+# the standard path. Two compounding costs: (a) the recompute-style
+# backward re-runs the whole block forward (executed FLOPs/sample
+# 7.43e11 vs 6.13e11, +21%), which the serving-side fused-fwd saving
+# (~33% of a CFG forward) cannot amortize across a fwd+bwd step; (b)
+# per-FLOP efficiency DROPS (MFU 37.5 -> 31.7%) — the custom_vjp
+# boundary blocks XLA from fusing the block into the surrounding convs,
+# and the flattened-2D bwd dots do not beat the conv-emitter bwd enough
+# to pay for it. Kept behind RDM_TPU_FUSED_BLOCK_TRAIN=1 for A/B and for
+# shapes where the serving kernels dominate harder; grad-parity-tested
+# either way (tests/test_block_kernel.py).
 def use_fused_spatial_block_train() -> bool:
-    if os.environ.get("RDM_TPU_FUSED_BLOCK_TRAIN", "1") == "0":
+    if os.environ.get("RDM_TPU_FUSED_BLOCK_TRAIN", "0") != "1":
         return False
     return use_fused_spatial_block()
 

@@ -741,6 +741,16 @@ def fused_transformer_block(
 # standard training path (the fwd-path DENSE_2D no-go does not apply —
 # the Pallas block boundary already pays its relayout either way).
 # Recompute-style: residuals are just (x, ck, cv, w).
+#
+# MEASURED NO-GO as the training default (v5e, flagship b32 no-remat):
+# 83.9 samples/s / 31.7% MFU vs 120.5 / 37.5% standard — the bwd block
+# recompute adds +21% executed FLOPs AND per-FLOP efficiency drops (the
+# custom_vjp boundary blocks cross-block fusion; the 2D bwd dots don't
+# recoup it). Saving more residuals (q/k/v, attn, xmid are already
+# kernel outputs) would cut the recompute from ~11 to ~5 matmul-units,
+# bounding the best case at ~-8% vs standard — still a loss, not
+# pursued. Env-gated RDM_TPU_FUSED_BLOCK_TRAIN=1; the full measured
+# matrix lives in models/layers.use_fused_spatial_block_train.
 
 
 def _xla_block_reference(x, ck, cv, w, *, heads: int, head_dim: int):
