@@ -20,6 +20,13 @@ the SAME loop end-to-end with zero network access:
 The gate: FID(trained) must be FAR below FID(random-init) — a trained
 model whose samples don't beat an untrained one means the loop is broken
 somewhere, which is exactly what this certifies against.
+
+`run_gate_rarm` mirrors the loop for the AUTOREGRESSIVE family
+(VERDICT r4 #3): shapes → the same tiny VQ → code indices → tiny RARM
+through the production RARMTrainer (teacher-forced CE,
+reference transformer.py:207-222) → KV-cached sampling through the
+production RARMPipeline (sample_from_rdata equivalent,
+transformer.py:296-391) → the same FID/P-R harness.
 """
 
 from __future__ import annotations
@@ -248,3 +255,104 @@ def run_gate(*, n_images: int = 256, size: int = 16, k_nn: int = 3,
         "logdir": logdir,
     }
     return report
+
+
+def run_gate_rarm(*, n_images: int = 256, size: int = 16, k_nn: int = 3,
+                  vq_steps: int = 300, rarm_steps: int = 3000,
+                  train_batch: int = 32, sample_n: int = 128,
+                  top_k: int = 32, temperature: float = 1.0,
+                  guidance: float = 1.0, seed: int = 0,
+                  logdir: Optional[str] = None) -> Dict:
+    """AR-family micro gate: shapes → VQ codes → RARM via the production
+    RARMTrainer → RARMPipeline sampling → FID/P-R. Same pass criterion
+    as `run_gate`: FID(trained) ≪ FID(random-init)."""
+    import os
+    import tempfile
+
+    from rdm_tpu.eval.metrics import evaluate_features
+    from rdm_tpu.models.autoencoder import AutoencoderConfig
+    from rdm_tpu.models.rarm import RARM, RARMConfig
+    from rdm_tpu.pipeline import RARMPipeline
+    from rdm_tpu.retrieval.database import DataPool
+    from rdm_tpu.training.trainer import RARMTrainer, TrainerConfig
+
+    logdir = logdir or tempfile.mkdtemp(prefix="micro_gate_rarm_")
+    images = make_shapes(n_images, size=size, seed=seed)
+    emb = pixel_embed(images)
+    ctx_dim = emb.shape[1]
+
+    # ---- stage 1: shared tiny VQ first stage ----
+    n_embed = 128
+    fs_cfg = AutoencoderConfig(ch=16, ch_mult=(1, 2), num_res_blocks=1,
+                               z_channels=3, embed_dim=3, n_embed=n_embed,
+                               resolution=size, in_channels=3, out_ch=3)
+    fs_params, rec_loss = train_vq(images, fs_cfg, steps=vq_steps,
+                                   seed=seed)
+
+    # ---- stage 2: RARM over the code grid ----
+    side = size // fs_cfg.downsample_factor
+    cfg = RARMConfig(vocab_size=n_embed + 2, out_vocab=n_embed,
+                     heads=4, head_dim=16, depth=3, context_dim=ctx_dim,
+                     seq_len=side * side, sos_token=n_embed + 1,
+                     mask_token=n_embed, code_side=side,
+                     p_mask_max=0.1)
+    nn_idx = _neighbor_table(emb, k_nn)
+    rng = np.random.default_rng(seed + 1)
+
+    def loader():
+        while True:
+            idx = rng.integers(0, n_images, train_batch)
+            yield {"image": images[idx],
+                   "nn_embeddings": emb[nn_idx[idx]]}
+
+    tcfg = TrainerConfig(logdir=os.path.join(logdir, "rarm"),
+                         base_lr=1e-3, scale_lr=False,
+                         max_steps=rarm_steps, log_every=300,
+                         ckpt_every=10 ** 9, image_log_every=0,
+                         warm_up_steps=50, ema_decay=0.995, seed=seed)
+    trainer = RARMTrainer(cfg, tcfg, fs_cfg, fs_params,
+                          batch_size=train_batch)
+    state = trainer.fit(loader())
+
+    # ---- stage 3: sample through the production pipeline ----
+    pool = DataPool(embeddings=emb.astype(np.float32))
+
+    def sample_with(params):
+        pipe = RARMPipeline(cfg, params, fs_cfg, fs_params, pool=pool)
+        out = []
+        bs = min(64, sample_n)
+        for i in range(0, sample_n, bs):
+            logs = pipe.sample_unconditional(
+                bs, k_nn=k_nn, top_k=top_k, temperature=temperature,
+                guidance_scale=guidance, seed=seed + 7 + i)
+            out.append(logs["samples_with_sampled_nns"])
+        return np.concatenate(out)[:sample_n]
+
+    samples_trained = sample_with(state.ema.params)
+    rand_params = jax.jit(RARM(cfg).init)(
+        jax.random.PRNGKey(seed + 99), jnp.zeros((1, 4), jnp.int32),
+        jnp.zeros((1, k_nn, ctx_dim)))
+    samples_random = sample_with(rand_params)
+
+    # ---- stage 4: evaluate with the repo harness ----
+    real_feats = pixel_stat_features(images)
+    res_trained = evaluate_features(
+        real_feats, pixel_stat_features(samples_trained))
+    res_random = evaluate_features(
+        real_feats, pixel_stat_features(samples_random))
+    return {
+        "model": "rarm",
+        "n_train_images": n_images, "vq_steps": vq_steps,
+        "rarm_steps": rarm_steps, "sample_n": sample_n,
+        "top_k": top_k, "guidance": guidance,
+        "vq_recon_mse": round(rec_loss, 5),
+        "fid_trained": round(res_trained["fid"], 4),
+        "fid_random_init": round(res_random["fid"], 4),
+        "precision_trained": round(res_trained["precision"], 4),
+        "precision_random": round(res_random["precision"], 4),
+        "recall_trained": round(res_trained["recall"], 4),
+        "recall_random": round(res_random["recall"], 4),
+        "fid_ratio": round(res_trained["fid"]
+                           / max(res_random["fid"], 1e-9), 4),
+        "logdir": logdir,
+    }

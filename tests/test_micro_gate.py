@@ -45,3 +45,19 @@ def test_run_gate_mechanics():
                 "recall_trained", "vq_recon_mse", "fid_ratio"):
         assert np.isfinite(report[key]), (key, report)
     assert report["fid_trained"] > 0 and report["fid_random_init"] > 0
+
+
+def test_run_gate_rarm_mechanics():
+    """AR-family gate machinery at toy step counts: VQ codes → RARM via
+    the production RARMTrainer → RARMPipeline KV-cached sampling →
+    FID/P-R record (the discriminating 3000-step run is
+    scripts/micro_quality_gate.py --model rarm)."""
+    from rdm_tpu.eval.micro_gate import run_gate_rarm
+
+    report = run_gate_rarm(n_images=48, size=16, k_nn=2, vq_steps=20,
+                           rarm_steps=10, train_batch=8, sample_n=16,
+                           top_k=16, guidance=1.0, seed=0)
+    for key in ("fid_trained", "fid_random_init", "precision_trained",
+                "recall_trained", "vq_recon_mse", "fid_ratio"):
+        assert np.isfinite(report[key]), (key, report)
+    assert report["fid_trained"] > 0 and report["fid_random_init"] > 0
