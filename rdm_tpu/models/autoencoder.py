@@ -75,9 +75,14 @@ class AutoencoderConfig:
 
 
 def _conv(features, kernel, dtype, *, stride=1, padding="SAME", name=None):
-    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding=padding, dtype=dtype, param_dtype=jnp.float32,
-                   name=name)
+    # QuantizableConv reproduces nn.Conv exactly in f32/bf16 (same param
+    # names/shapes — checkpoints load unchanged) and gives the decoder an
+    # int8 serving fast path (ops/quant.quantize_conv_tree; round-5 int8
+    # phase 3 — the VQ decode is the non-U-Net compute in the int8
+    # serving program).
+    from rdm_tpu.models.layers import QuantizableConv
+    return QuantizableConv(features=features, kernel=kernel, stride=stride,
+                           padding=padding, dtype=dtype, name=name)
 
 
 class ResnetBlock(nn.Module):

@@ -149,6 +149,7 @@ class RDMPipeline:
         # call (it needs a real neighbor batch); approximate — opt-in.
         self.int8_weights = int8_weights
         self._params_int8 = None
+        self._fs_params_int8 = None
         self.first_stage = VQModel(first_stage_config, dtype=dtype)
         self.first_stage_params = cast_params_for_inference(
             first_stage_params, dtype)
@@ -456,14 +457,25 @@ class RDMPipeline:
         """Build the int8 U-Net param tree (ops/quant.py): one bf16
         sampling run supplies trajectory-marginal calibration inputs, a
         single extra forward compile collects per-conv act max-abs in the
-        exact serving form (shared-prefix CFG context)."""
+        exact serving form (shared-prefix CFG context). The VQ decoder is
+        calibrated on the same run's final latents (int8 phase 3 —
+        the decode is the non-U-Net conv compute of the int8 program);
+        its conv_in/conv_out/post_quant_conv stay bf16."""
         from rdm_tpu.models.rdm import RDM as _RDM
         from rdm_tpu.ops import quant
 
         run = self._get_ddim_runner(steps, guidance_scale,
                                     neighbors.shape[0])
-        z = run(self.params, neighbors, jax.random.PRNGKey(seed))
-        z = jnp.asarray(z) * self.config.scale_factor  # back to model scale
+        z_raw = run(self.params, neighbors, jax.random.PRNGKey(seed))
+        with quant.calibrate():
+            fs_calib = jax.jit(lambda p, zz: self.first_stage.apply(
+                p, zz, force_not_quantize=False, method=VQModel.decode,
+                mutable=["intermediates"])[1])(
+                self.first_stage_params, z_raw)
+        self._fs_params_int8 = quant.quantize_conv_tree(
+            self.first_stage_params, fs_calib,
+            exclude=("conv_in", "conv_out", "post_quant_conv"))
+        z = jnp.asarray(z_raw) * self.config.scale_factor  # model scale
         ctx = self.model.apply(self.params, neighbors,
                                method=_RDM.encode_neighbors)
         if guidance_scale != 1.0:
@@ -508,9 +520,19 @@ class RDMPipeline:
             run = jax.jit(run)
             self._runners[key] = run
         z, traj = run(params, neighbors, jax.random.PRNGKey(seed))
-        images = to_uint8(self._decode(self.first_stage_params, z))
+        fs = (self._fs_params_int8
+              if int8 and self._fs_params_int8 is not None
+              else self.first_stage_params)
+        images = to_uint8(self._decode(fs, z))
         return {"z": np.asarray(z), "images": images,
                 "traj": np.asarray(traj)}
+
+    def serving_fs_params(self):
+        """First-stage params the decode runs with (int8 decoder when
+        int8_weights is on and calibration has run, else bf16)."""
+        if self.int8_weights and self._fs_params_int8 is not None:
+            return self._fs_params_int8
+        return self.first_stage_params
 
     def _run_ddim(self, neighbors: jnp.ndarray, steps: int,
                   guidance_scale: float, seed: int,
@@ -521,7 +543,7 @@ class RDMPipeline:
                                      guidance_scale=guidance_scale,
                                      seed=seed)
         z = run(params, neighbors, jax.random.PRNGKey(seed))
-        images = self._decode(self.first_stage_params, z)
+        images = self._decode(self.serving_fs_params(), z)
         return to_uint8(images)
 
 

@@ -220,3 +220,22 @@ def test_pipeline_int8_end_to_end(tmp_path):
                                       seed=0)
     np.testing.assert_array_equal(imgs,
                                   logs2["samples_with_sampled_nns"])
+    # int8 phase 3: the VQ decoder quantizes alongside the U-Net, its
+    # conv_in/conv_out stay bf16, and the int8 decode stays close to the
+    # bf16 decode on the same latents
+    assert pipe._fs_params_int8 is not None
+    assert num_quantized(pipe._fs_params_int8) > 0
+    import jax
+    import jax.numpy as jnp
+    fs = pipe._fs_params_int8["params"]["decoder"]
+    assert fs["conv_in"]["kernel"].dtype != jnp.int8
+    assert fs["conv_out"]["kernel"].dtype != jnp.int8
+    z = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (2, 8, 8, 3)).astype(np.float32))
+    img_bf16 = np.asarray(pipe._decode(pipe.first_stage_params, z),
+                          np.float32)
+    img_int8 = np.asarray(pipe._decode(pipe._fs_params_int8, z),
+                          np.float32)
+    a, b = img_bf16.ravel(), img_int8.ravel()
+    cos = float(a @ b / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-9))
+    assert cos > 0.99, cos
