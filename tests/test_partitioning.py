@@ -200,6 +200,122 @@ def test_fused_decode_partitioned_cfg_parity():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_block_int8_partitioned_parity():
+    # VERDICT r4 #4: the int8 fused-block path (calibrated act absmax
+    # riding the weights operand as __qscales__, layers.py) must survive
+    # the batch-partitioning wrapper: DP-sharded result == single-device
+    # int8 result, with no all-gather in the HLO.
+    from rdm_tpu.models.layers import FusedTransformerBlock, TransformerBlock
+    from rdm_tpu.ops import quant
+
+    heads, head_dim, b, s, s_ctx = 4, 32, 8, 16, 4
+    c = heads * head_dim
+    kx, kc, kp = jax.random.split(jax.random.PRNGKey(5), 3)
+    x = jax.random.normal(kx, (b, s, c), jnp.float32)
+    ctx = jax.random.normal(kc, (b, s_ctx, 64), jnp.float32)
+    ref = TransformerBlock(heads=heads, head_dim=head_dim)
+    params = ref.init(kp, x, ctx)
+    with quant.calibrate():
+        _, inter = ref.apply(params, x, ctx, mutable=["intermediates"])
+    variables = {**params, "quant": inter["intermediates"]}
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  interpret=True)
+    single = fused.apply(variables, x, ctx)
+
+    mesh = _mesh()
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P("data"))
+    jf = jax.jit(fused.apply,
+                 in_shardings=(repl, batch_sh, batch_sh),
+                 out_shardings=batch_sh)
+    sharded = jf(variables, jax.device_put(x, batch_sh),
+                 jax.device_put(ctx, batch_sh))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-5, atol=2e-5)
+    hlo = jf.lower(variables, jax.ShapeDtypeStruct(x.shape, x.dtype),
+                   jax.ShapeDtypeStruct(ctx.shape, ctx.dtype)
+                   ).compile().as_text()
+    assert hlo.count("all-gather") == 0
+
+
+def test_int8_conv_sampling_step_under_dp():
+    # VERDICT r4 #4 second half: an int8-quantized U-Net forward (the
+    # DDIM step body) under a DP-sharded jit matches the single-device
+    # int8 forward. Convs are native XLA ops (GSPMD partitions them
+    # directly); this certifies the int8 param tree — int8 kernels +
+    # kernel_scale/act_scale leaves — composes with batch sharding.
+    from rdm_tpu.models.rdm import RDM, RDMConfig
+    from rdm_tpu.models.unet import UNetConfig
+    from rdm_tpu.ops import quant
+
+    unet = UNetConfig(in_channels=3, out_channels=3, model_channels=16,
+                      num_res_blocks=1, attention_resolutions=(2,),
+                      channel_mult=(1, 2), num_head_channels=8,
+                      context_dim=16)
+    cfg = RDMConfig(unet=unet, image_size=8, channels=3, timesteps=10,
+                    context_dim=16, k_nn=2)
+    model = RDM(cfg)
+    b = 8
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, 8, 8, 3), jnp.float32)
+    t = jnp.full((b,), 5, jnp.int32)
+    c = jax.random.normal(jax.random.PRNGKey(1), (b, 2, 16), jnp.float32)
+    params = model.init(jax.random.PRNGKey(2), x, t, c)
+    with quant.calibrate():
+        calib = model.apply(params, x, t, c,
+                            mutable=["intermediates"])[1]
+    qparams = quant.quantize_conv_tree(params, calib)
+    assert quant.num_quantized(qparams) > 0
+
+    single = model.apply(qparams, x, t, c)
+    mesh = _mesh()
+    repl = NamedSharding(mesh, P())
+    bs = NamedSharding(mesh, P("data"))
+    jf = jax.jit(model.apply, in_shardings=(repl, bs, bs, bs),
+                 out_shardings=bs)
+    sharded = jf(qparams, jax.device_put(x, bs), jax.device_put(t, bs),
+                 jax.device_put(c, bs))
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fused_block_ad_partitioned_grads():
+    # Training path under DP: gradients through the custom_vjp fused
+    # block (Pallas fwd partitioned inside, 2D-XLA bwd) on a DP-sharded
+    # batch match the single-device standard-path gradients.
+    from rdm_tpu.models.layers import FusedTransformerBlock, TransformerBlock
+
+    heads, head_dim, b, s, s_ctx = 4, 32, 8, 16, 4
+    c = heads * head_dim
+    kx, kc, kp = jax.random.split(jax.random.PRNGKey(6), 3)
+    x = jax.random.normal(kx, (b, s, c), jnp.float32)
+    ctx = jax.random.normal(kc, (b, s_ctx, 64), jnp.float32)
+    ref = TransformerBlock(heads=heads, head_dim=head_dim)
+    params = ref.init(kp, x, ctx)
+    fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                  interpret=True)
+
+    def loss(mod):
+        return lambda p, x_, c_: jnp.sum(
+            mod.apply(p, x_, c_, deterministic=False) ** 2)
+
+    g_ref = jax.grad(loss(ref))(params, x, ctx)
+
+    mesh = _mesh()
+    repl = NamedSharding(mesh, P())
+    bs = NamedSharding(mesh, P("data"))
+    jf = jax.jit(jax.grad(loss(fused)),
+                 in_shardings=(repl, bs, bs), out_shardings=repl)
+    g_dp = jf(params, jax.device_put(x, bs), jax.device_put(ctx, bs))
+    for (path, a), b2 in zip(jax.tree.leaves_with_path(g_ref),
+                             jax.tree.leaves(g_dp)):
+        a = np.asarray(a, np.float32)
+        b2 = np.asarray(b2, np.float32)
+        denom = max(np.abs(a).max(), 1e-3)
+        np.testing.assert_allclose(
+            b2 / denom, a / denom, rtol=2e-4, atol=2e-4,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
 def test_flash_attention_partitioned_parity_and_grads():
     # forward partitioned inside the custom_vjp: DP-sharded forward runs
     # shard-local (no all-gather), and gradients still flow through the
