@@ -298,7 +298,19 @@ def main():
                 p, x, t, c, mutable=["intermediates"])[1])(
                 params, x_c, t_c, c_c)
         params = quant.quantize_conv_tree(params, calib)
-        print(f"# int8 conv kernels: {quant.num_quantized(params)}",
+        # VQ decoder convs too (int8 phase 3): calibrated on a latent
+        # batch through the production decode path
+        with quant.calibrate():
+            fs_calib = jax.jit(lambda p, zz: vq.apply(
+                p, zz, force_not_quantize=False, method=VQModel.decode,
+                mutable=["intermediates"])[1])(
+                vq_params, jax.random.normal(jax.random.PRNGKey(13),
+                                             z0.shape, jnp.float32))
+        vq_params = quant.quantize_conv_tree(
+            vq_params, fs_calib,
+            exclude=("conv_in", "conv_out", "post_quant_conv"))
+        print(f"# int8 conv kernels: {quant.num_quantized(params)} unet "
+              f"+ {quant.num_quantized(vq_params)} vq-decoder",
               flush=True)
 
     # device health gate BEFORE the expensive compile: a degraded tunnel
@@ -308,6 +320,62 @@ def main():
     healthy, probe_times = wait_for_healthy_device(probe)
     print(f"# health probe: {probe_times} (good={PROBE_GOOD_S}s, "
           f"healthy={healthy})", flush=True)
+
+    # BENCH_LATENCY=1: interactive-serving latency op point (VERDICT r4
+    # #6) — end-to-end DDIM-50 wall latency at bs=1 and bs=4, forced
+    # sync per run, with the ~28 ms tunnel dispatch overhead measured
+    # and reported separately (CLAUDE.md tunnel-timing note: it is a
+    # fixed axon RPC cost, not device time). Opt-in; never the headline.
+    if os.environ.get("BENCH_LATENCY", "0") == "1":
+        @jax.jit
+        def _tiny(a):
+            return a + 1.0
+
+        _t = jnp.zeros((8, 128), jnp.bfloat16)
+        np.asarray(_tiny(_t))  # compile
+        disp = []
+        for _ in range(10):
+            t0 = time.perf_counter()
+            np.asarray(_tiny(_t))
+            disp.append(time.perf_counter() - t0)
+        dispatch_ms = round(float(np.median(disp)) * 1e3, 2)
+
+        from rdm_tpu.utils.aot import abstract
+        per_bs = {}
+        for b in (1, 4):
+            qb = db_norm[:b].astype(jnp.float32)
+            keyb = jax.random.PRNGKey(2)
+            print(f"compiling latency pipeline bs={b}...", flush=True)
+            exe = pipeline.lower(
+                abstract(params), abstract(vq_params), abstract(db_norm),
+                abstract(qb), abstract(keyb)).compile()
+            np.asarray(exe(params, vq_params, db_norm, qb, keyb)[0, 0, 0])
+            lats = []
+            for i in range(15):
+                kb = jax.random.PRNGKey(100 + i)
+                t0 = time.perf_counter()
+                np.asarray(exe(params, vq_params, db_norm, qb, kb)
+                           [0, 0, 0])
+                lats.append((time.perf_counter() - t0) * 1e3)
+            lats = sorted(lats)
+            per_bs[b] = {
+                "median_ms": round(float(np.median(lats)), 1),
+                "best_ms": round(lats[0], 1),
+                "net_of_dispatch_ms": round(
+                    float(np.median(lats)) - dispatch_ms, 1),
+            }
+            print(f"# bs={b}: {per_bs[b]}", flush=True)
+        print(json.dumps({
+            "metric": "rdm_ddim50_256px_latency_ms",
+            "value": per_bs[1]["median_ms"],
+            "unit": "ms (bs=1 end-to-end, forced sync)",
+            "dispatch_overhead_ms": dispatch_ms,
+            "bs1": per_bs[1], "bs4": per_bs[4],
+            "steps": DDIM_STEPS, "guidance": GUIDANCE,
+            "cfg_mode": CFG_MODE,
+            "healthy": healthy,
+        }))
+        return
 
     # AOT lower from abstract shapes (8 s host-side) + compile (persistent
     # cache hit ~15 s), then warm the compiled executable once

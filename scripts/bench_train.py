@@ -126,6 +126,18 @@ def main():
     np.asarray(metrics["loss"])
     print(f"compile+warmup {time.perf_counter()-t0:.1f}s", flush=True)
 
+    # BENCH_DUMP_HLO=<path>: compiled post-optimization HLO of the exact
+    # benched step, for scripts/analyze_trace_hlo.py fusion-id mapping
+    hlo_path = os.environ.get("BENCH_DUMP_HLO")
+    if hlo_path:
+        try:
+            with open(hlo_path, "w") as f:
+                f.write(exe.as_text())
+            print(f"# compiled HLO -> {hlo_path}", flush=True)
+        except OSError as e:
+            print(f"# BENCH_DUMP_HLO write failed ({e}); continuing",
+                  flush=True)
+
     # BENCH_PROFILE_DIR: trace ONE warm train step and print the per-op
     # device-time breakdown (same hook as bench.py — runs on the exact
     # benched path, standalone profile scripts have wedged the tunnel)

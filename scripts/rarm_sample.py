@@ -87,6 +87,16 @@ def main() -> None:
     if opt.data_parallel > 1:
         from rdm_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(data=opt.data_parallel)
+    if opt.int8_weights or opt.approx_top_k:
+        # approximate serving modes self-describe (VERDICT r4 #7)
+        modes = [m for m, on in (("--int8_weights", opt.int8_weights),
+                                 ("--approx_top_k", opt.approx_top_k))
+                 if on]
+        print(f"NOTE: {' + '.join(modes)} is an APPROXIMATE serving mode "
+              "(recorded flagship greedy-token agreement 0.961 for int8, "
+              "~95% top-k recall for approx_top_k — COVERAGE.md). Measure "
+              "your checkpoint with scripts/quality_eval.py before "
+              "production use.")
     pipe = RARMPipeline.from_model_dir(
         opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
         clip_ckpt=opt.clip_ckpt, random_init=opt.random_init, mesh=mesh)

@@ -89,6 +89,17 @@ def main() -> None:
     if opt.data_parallel > 1:
         from rdm_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(data=opt.data_parallel)
+    if opt.int8_weights or opt.encoder_reuse > 1:
+        # approximate serving modes self-describe (VERDICT r4 #7): the
+        # recorded speed/quality table (COVERAGE.md) was measured on
+        # flagship-shaped SYNTHETIC weights — verify on YOUR checkpoint
+        modes = [m for m, on in (("--int8_weights", opt.int8_weights),
+                                 (f"--encoder_reuse {opt.encoder_reuse}",
+                                  opt.encoder_reuse > 1)) if on]
+        print(f"NOTE: {' + '.join(modes)} is an APPROXIMATE serving mode. "
+              "The recorded fidelity table (COVERAGE.md) used synthetic "
+              "flagship-shaped weights; measure your checkpoint with "
+              "scripts/quality_eval.py before production use.")
     pipe = RDMPipeline.from_model_dir(
         opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
         clip_ckpt=opt.clip_ckpt, random_init=opt.random_init, mesh=mesh,
