@@ -24,6 +24,7 @@ head_dim].
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -183,7 +184,8 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
     dk_ref[0, 0, :, :] += dk.astype(dk_ref.dtype)
 
 
-def _flash_backward(q, k, v, g, scale: float, causal: bool):
+def _flash_backward(q, k, v, g, scale: float, causal: bool,
+                    interpret: bool = False):
     b, sq, h, d = q.shape
     sk = k.shape[1]
     block_q = min(512, sq)
@@ -218,6 +220,7 @@ def _flash_backward(q, k, v, g, scale: float, causal: bool):
             * q.dtype.itemsize,
             transcendentals=b * h * sq * sk,
         ),
+        interpret=interpret,
     )(qt, kt, vt, gt)
     back = lambda t, dt: jnp.transpose(t, (0, 2, 1, 3)).astype(dt)
     return back(dq, q.dtype), back(dk, k.dtype), back(dv, v.dtype)
@@ -264,16 +267,38 @@ def _flash_fwd(q, k, v, scale, causal, interpret):
 
 
 def _flash_bwd(scale, causal, interpret, res, g):
-    # Measured on v5e (flagship train step, batch 16): the XLA-recompute
-    # backward gives 82.1 samples/s vs 71.6 with the Pallas backward
-    # (_flash_backward) — XLA fuses the recompute into the surrounding
-    # gradient graph better than the kernel's revisited f32 dk/dv
-    # accumulation. The kernel stays available (and gradient-tested) for
-    # shapes where XLA's backward spills.
+    # Two backends, RDM_TPU_FLASH_BWD selects (read at trace time):
+    # - "pallas" (default on TPU): the flash backward kernel
+    #   (_flash_backward) — recomputes P in-VMEM, never materializes any
+    #   [B,H,S,S] tensor in HBM. The round-5 HLO-mapped train trace showed
+    #   the XLA-recompute backward's S=1024 attention dots lowering to
+    #   convolution-base-dilated at 3.6-6.0% MXU efficiency (~15 ms per
+    #   res32 block, ~75 ms of the 267 ms b32 step); the kernel runs the
+    #   same math without the HBM round trips.
+    # - "xla": jax.vjp of the reference attention (recompute-style).
+    #   Round-2 measured this AHEAD at b16 (82.1 vs 71.6 samples/s, remat
+    #   era); round-5 at b32 no-remat the kernel wins — both points are
+    #   in COVERAGE.md, re-measure if the op point moves.
     q, k, v = res
+    if _use_pallas_bwd():
+        from rdm_tpu.ops.partitioning import call_batch_partitioned
+
+        def fn(q_, k_, v_, g_):
+            return _flash_backward(q_, k_, v_, g_, scale, causal,
+                                   interpret=interpret)
+
+        return call_batch_partitioned(fn, (q, k, v, g), (0, 0, 0, 0),
+                                      out_batch_dims=(0, 0, 0))
     _, vjp = jax.vjp(lambda q_, k_, v_: _xla_reference(q_, k_, v_, scale,
                                                        causal), q, k, v)
     return vjp(g)
+
+
+def _use_pallas_bwd() -> bool:
+    mode = os.environ.get("RDM_TPU_FLASH_BWD", "")
+    if mode in ("pallas", "xla"):
+        return mode == "pallas"
+    return jax.default_backend() == "tpu"
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

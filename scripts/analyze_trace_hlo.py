@@ -72,17 +72,30 @@ def _dims(shape_str):
     return [int(d) for d in m.group(1).split(",")]
 
 
-def _conv_flops(line: str):
-    """FLOPs of one HLO convolution line from its printed shapes."""
-    # out = convolution(lhs, rhs); dim_labels tell which rhs dims are
-    # spatial/io. 2 * prod(out) * prod(rhs_spatial) * rhs_input_features
-    # / feature_groups; batch_group_count divides the same way.
-    m = re.search(r"=\s*(\S+)\s+convolution\(", line)
+def _operand_names(line: str, opcode: str):
+    # anchor on the opcode — layouts like {2,3,1,0:T(8,128)} appear
+    # earlier in the line and would otherwise match first
+    m = re.search(r"\s" + opcode + r"\(([^)]*)\)", line)
+    if not m:
+        return []
+    return [re.sub(r"^(/\*[^*]*\*/)?\s*%", "", a.strip())
+            for a in m.group(1).split(",") if a.strip()]
+
+
+def _conv_flops(line: str, shapes):
+    """FLOPs of one HLO convolution line. Post-opt HLO prints operands
+    as bare names (`convolution(%fusion.1, %fusion.2)`), so rhs dims come
+    from the global name->shape map built in a first pass."""
+    # 2 * prod(out) * prod(rhs_spatial) * rhs_input_features / groups;
+    # dim_labels tell which rhs dims are o (output features).
+    m = re.search(r"=\s*(\S+)\s+convolution", line)
     out_dims = _dims(m.group(1)) if m else []
-    args = re.findall(r"[a-z0-9]+\[[\d,]*\][^,)]*", line)
-    if len(args) < 3 or not out_dims:
+    ops = _operand_names(line, "convolution")
+    if len(ops) < 2 or not out_dims:
         return 0
-    rhs_dims = _dims(args[2])
+    rhs_dims = shapes.get(ops[1], [])
+    if not rhs_dims:
+        return 0
     dl = re.search(r"dim_labels=([^, ]+)", line)
     fg = re.search(r"feature_group_count=(\d+)", line)
     groups = int(fg.group(1)) if fg else 1
@@ -94,19 +107,32 @@ def _conv_flops(line: str):
                 k_in *= d  # spatial dims and input-feature dim
     else:
         k_in = math.prod(rhs_dims[:-1])
+    # lhs_dilate (transposed / dot-strength-reduced convs): only every
+    # dilate-th window tap lands on a real sample — useful MACs per
+    # output shrink by prod(ceil(size/dilate))/prod(size)
+    mw = re.search(r"window=\{([^}]*)\}", line)
+    if mw:
+        ms = re.search(r"size=([\dx]+)", mw.group(1))
+        md = re.search(r"lhs_dilate=([\dx]+)", mw.group(1))
+        if ms and md:
+            sizes = [int(v) for v in ms.group(1).split("x")]
+            dil = [int(v) for v in md.group(1).split("x")]
+            for s, d in zip(sizes, dil):
+                if d > 1 and s:
+                    k_in = k_in * math.ceil(s / d) // s
     return 2 * math.prod(out_dims) * k_in // max(groups, 1)
 
 
-def _dot_flops(line: str):
+def _dot_flops(line: str, shapes):
     m = re.search(r"=\s*(\S+)\s+dot\(", line)
     out_dims = _dims(m.group(1)) if m else []
-    args = re.findall(r"[a-z0-9]+\[[\d,]*\][^,)]*", line)
-    if len(args) < 3 or not out_dims:
+    ops = _operand_names(line, "dot")
+    if len(ops) < 2 or not out_dims:
         return 0
-    lhs_dims = _dims(args[1])
+    lhs_dims = shapes.get(ops[0], [])
     c = re.search(r"lhs_contracting_dims=\{([\d,]*)\}", line)
     k = 1
-    if c and c.group(1):
+    if c and c.group(1) and lhs_dims:
         for d in c.group(1).split(","):
             k *= lhs_dims[int(d)]
     return 2 * math.prod(out_dims) * k
@@ -119,6 +145,13 @@ def parse_hlo(hlo_path: str):
     their called computation."""
     with open(hlo_path) as f:
         text = f.read()
+    # pass 0: global name -> dims map (post-opt HLO prints operands as
+    # bare names, so conv/dot FLOPs need operand shapes resolved here)
+    shapes = {}
+    for line in text.splitlines():
+        mi = re.match(r"\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\S+)", line)
+        if mi:
+            shapes[mi.group(1)] = _dims(mi.group(2))
     # computation bodies: "%name (params) -> type {" ... "}"
     comp_flops = {}
     comp_kinds = {}
@@ -135,9 +168,9 @@ def parse_hlo(hlo_path: str):
             continue
         fl = kind = None
         if " convolution(" in line:
-            fl, kind = _conv_flops(line), "conv"
+            fl, kind = _conv_flops(line, shapes), "conv"
         elif " dot(" in line:
-            fl, kind = _dot_flops(line), "dot"
+            fl, kind = _dot_flops(line, shapes), "dot"
         elif " custom-call(" in line and "tpu_custom_call" in line:
             kind = "pallas"
         if kind and cur:
@@ -161,10 +194,10 @@ def parse_hlo(hlo_path: str):
         elif " convolution(" in line:
             info[name] = {"calls": None, "kind": "conv",
                           "op_name": op_name,
-                          "flops": _conv_flops(line)}
+                          "flops": _conv_flops(line, shapes)}
         elif " dot(" in line:
             info[name] = {"calls": None, "kind": "dot",
-                          "op_name": op_name, "flops": _dot_flops(line)}
+                          "op_name": op_name, "flops": _dot_flops(line, shapes)}
         elif " custom-call(" in line and "tpu_custom_call" in line:
             info[name] = {"calls": None, "kind": "pallas",
                           "op_name": op_name, "flops": 0}
@@ -201,7 +234,9 @@ def main():
         kind = rec["kind"] if rec else "?"
         flops = rec["flops"] if rec else 0
         op_name = rec["op_name"] if rec else ""
-        eff = flops / (us * 1e-6) / opt.peak if us and flops else None
+        # us is summed over all instances; flops is per instance
+        eff = (flops * cnt[name]) / (us * 1e-6) / opt.peak \
+            if us and flops else None
         rows.append({"name": name, "us": us, "count": cnt[name],
                      "kind": kind, "flops": flops,
                      "eff": round(eff, 4) if eff is not None else None,

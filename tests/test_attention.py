@@ -4,6 +4,8 @@
 Semantics under test mirror /root/reference/rdm/modules/attention.py:52-72.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -120,3 +122,34 @@ def test_flash_backward_kernel_matches_xla_grads():
         for a, b in zip(out, ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=2e-4, rtol=1e-3)
+
+
+def test_flash_pallas_bwd_env_grads_match_xla_bwd():
+    """RDM_TPU_FLASH_BWD=pallas routes the custom_vjp backward through the
+    flash backward kernel (batch-partitioned wrap included); gradients
+    must match the default XLA-recompute backward."""
+    import rdm_tpu.ops.flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((2, 64, 2, 32)), dtype=jnp.float32)
+    k = jnp.asarray(rng.standard_normal((2, 64, 2, 32)), dtype=jnp.float32)
+    v = jnp.asarray(rng.standard_normal((2, 64, 2, 32)), dtype=jnp.float32)
+
+    def loss(q_, k_, v_):
+        return jnp.sum(
+            fa.flash_attention(q_, k_, v_, interpret=True) ** 2)
+
+    old = os.environ.get("RDM_TPU_FLASH_BWD")
+    try:
+        os.environ["RDM_TPU_FLASH_BWD"] = "xla"
+        g_ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        os.environ["RDM_TPU_FLASH_BWD"] = "pallas"
+        g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        if old is None:
+            os.environ.pop("RDM_TPU_FLASH_BWD", None)
+        else:
+            os.environ["RDM_TPU_FLASH_BWD"] = old
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
