@@ -356,3 +356,50 @@ def test_flash_attention_partitioned_parity_and_grads():
     for a_, b2 in ((gq, rq), (gk, rk), (gv, rv)):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b2),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_flash_pallas_bwd_partitioned_grads():
+    # RDM_TPU_FLASH_BWD=pallas (the TPU training default) under a
+    # DP-sharded jit: the Pallas backward kernel runs shard-local through
+    # its call_batch_partitioned wrap (no all-gather on the bwd program)
+    # and matches the XLA-reference gradients.
+    import os
+
+    from rdm_tpu.ops.flash_attention import _xla_reference, flash_attention
+
+    b, s, h, d = 8, 16, 2, 32
+    ks = jax.random.split(jax.random.PRNGKey(9), 3)
+    q = jax.random.normal(ks[0], (b, s, h, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b, s, h, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b, s, h, d), jnp.float32)
+    mesh = _mesh()
+    bs = NamedSharding(mesh, P("data"))
+
+    def loss(q_, k_, v_):
+        return jnp.sum(flash_attention(q_, k_, v_, interpret=True) ** 2)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(_xla_reference(q_, k_, v_, d ** -0.5, False) ** 2)
+
+    rq, rk, rv = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    old = os.environ.get("RDM_TPU_FLASH_BWD")
+    try:
+        os.environ["RDM_TPU_FLASH_BWD"] = "pallas"
+        jg = jax.jit(jax.grad(loss, argnums=(0, 1, 2)),
+                     in_shardings=(bs, bs, bs),
+                     out_shardings=(bs, bs, bs))
+        gq, gk, gv = jg(jax.device_put(q, bs), jax.device_put(k, bs),
+                        jax.device_put(v, bs))
+        hlo = jg.lower(jax.ShapeDtypeStruct(q.shape, q.dtype),
+                       jax.ShapeDtypeStruct(k.shape, k.dtype),
+                       jax.ShapeDtypeStruct(v.shape, v.dtype)
+                       ).compile().as_text()
+    finally:
+        if old is None:
+            os.environ.pop("RDM_TPU_FLASH_BWD", None)
+        else:
+            os.environ["RDM_TPU_FLASH_BWD"] = old
+    assert hlo.count("all-gather") == 0
+    for a_, b2 in ((gq, rq), (gk, rk), (gv, rv)):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b2),
+                                   rtol=2e-4, atol=2e-4)
