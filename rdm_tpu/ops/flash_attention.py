@@ -268,19 +268,25 @@ def _flash_fwd(q, k, v, scale, causal, interpret):
 
 def _flash_bwd(scale, causal, interpret, res, g):
     # Two backends, RDM_TPU_FLASH_BWD selects (read at trace time):
-    # - "pallas" (default on TPU): the flash backward kernel
-    #   (_flash_backward) — recomputes P in-VMEM, never materializes any
-    #   [B,H,S,S] tensor in HBM. The round-5 HLO-mapped train trace showed
-    #   the XLA-recompute backward's S=1024 attention dots lowering to
-    #   convolution-base-dilated at 3.6-6.0% MXU efficiency (~15 ms per
-    #   res32 block, ~75 ms of the 267 ms b32 step); the kernel runs the
-    #   same math without the HBM round trips.
+    # - "pallas": the flash backward kernel (_flash_backward) — recomputes
+    #   P in-VMEM, never materializes any [B,H,S,S] tensor in HBM. The
+    #   round-5 HLO-mapped train trace showed the XLA-recompute backward's
+    #   S=1024 attention dots lowering to convolution-base-dilated at
+    #   3.6-6.0% MXU efficiency (~15 ms per res32 block, ~75 ms of the
+    #   267 ms b32 step); the kernel runs the same math without the HBM
+    #   round trips.
     # - "xla": jax.vjp of the reference attention (recompute-style).
-    #   Round-2 measured this AHEAD at b16 (82.1 vs 71.6 samples/s, remat
-    #   era); round-5 at b32 no-remat the kernel wins — both points are
-    #   in COVERAGE.md, re-measure if the op point moves.
+    # TPU default is gated on head_dim — both directions are measured
+    # (bench_train b32 pipelined, round 5):
+    #   RDM  d=32 no-remat: pallas 149.1 samples/s (46.3% MFU) vs
+    #                       xla 112.5 (35.0%)  -> pallas wins
+    #   RARM d=64 remat:    pallas 259.1 (43.4%) vs xla 271.1 (45.4%)
+    #                       -> xla wins (less lane padding to amortize;
+    #                       causal chunk-skip favors XLA's dot lowering)
+    # Round-2 also measured xla ahead at RDM b16 remat (82.1 vs 71.6) —
+    # the winner moves with the op point; RDM_TPU_FLASH_BWD overrides.
     q, k, v = res
-    if _use_pallas_bwd():
+    if _use_pallas_bwd(q.shape[-1]):
         from rdm_tpu.ops.partitioning import call_batch_partitioned
 
         def fn(q_, k_, v_, g_):
@@ -294,11 +300,13 @@ def _flash_bwd(scale, causal, interpret, res, g):
     return vjp(g)
 
 
-def _use_pallas_bwd() -> bool:
+def _use_pallas_bwd(head_dim: int) -> bool:
     mode = os.environ.get("RDM_TPU_FLASH_BWD", "")
     if mode in ("pallas", "xla"):
         return mode == "pallas"
-    return jax.default_backend() == "tpu"
+    # Measured crossover (see _flash_bwd): the kernel wins at d=32 (RDM),
+    # the XLA recompute backward wins at d=64 (RARM).
+    return jax.default_backend() == "tpu" and head_dim <= 32
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)

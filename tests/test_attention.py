@@ -153,3 +153,22 @@ def test_flash_pallas_bwd_env_grads_match_xla_bwd():
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-4, rtol=1e-3)
+
+
+def test_flash_bwd_default_gated_on_head_dim(monkeypatch):
+    """The TPU default routes the Pallas flash backward only at
+    head_dim <= 32 (measured crossover: RDM d=32 wins 149.1 vs 112.5
+    samples/s, RARM d=64 loses 259.1 vs 271.1 — COVERAGE.md round 5);
+    RDM_TPU_FLASH_BWD overrides both ways."""
+    import rdm_tpu.ops.flash_attention as fa
+
+    monkeypatch.delenv("RDM_TPU_FLASH_BWD", raising=False)
+    monkeypatch.setattr(fa.jax, "default_backend", lambda: "tpu")
+    assert fa._use_pallas_bwd(32) is True
+    assert fa._use_pallas_bwd(64) is False
+    monkeypatch.setattr(fa.jax, "default_backend", lambda: "cpu")
+    assert fa._use_pallas_bwd(32) is False
+    monkeypatch.setenv("RDM_TPU_FLASH_BWD", "pallas")
+    assert fa._use_pallas_bwd(64) is True
+    monkeypatch.setenv("RDM_TPU_FLASH_BWD", "xla")
+    assert fa._use_pallas_bwd(32) is False
