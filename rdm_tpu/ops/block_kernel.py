@@ -42,8 +42,11 @@ in row-major [B, S, Cp] end to end.
 Numerics: LN stats f32 (models.layers._RawLayerNorm parity), matmuls
 accumulate f32 via preferred_element_type, softmax f32 with the
 exp2/log2(e) folding, gelu exact-erf via the A&S 7.1.26 polynomial.
-Inference only (sampling); training keeps the standard path (the flash
-BACKWARD kernel is a measured no-go — CLAUDE.md ledger).
+Inference only (sampling); training keeps the standard path — the
+differentiable custom_vjp wrapper (fused_transformer_block_ad) measured
+a NO-GO as a training default (83.9 vs 120.5 samples/s b32), while the
+standalone Pallas flash BACKWARD kernel became the d<=32 training
+default in round 5 (ops/flash_attention.py, 149.1 vs 112.5 samples/s).
 """
 
 from __future__ import annotations
@@ -185,6 +188,75 @@ def _packed_attn_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
             pv = pv * pl.reciprocal(den, approx=False)
             acc = acc + jnp.where(mh, pv, 0.0)
         o_ref[n] = acc.astype(o_ref.dtype)
+
+
+def _packed_attn_kernel_q8(q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
+                           scale: float):
+    """int8 attention core (round 5): QK^T and PV run int8 x int8 -> int32
+    on the MXU at 2x the bf16 rate. The d=32 lane-padding tax (128/d = 4x
+    effective FLOPs, module ADR) is unavoidable in ANY formulation, so
+    halving the per-FLOP cost is the only remaining lever on the padded
+    dots — the bf16 kernel already measured ~84% of its padded ceiling
+    at the res32 site (block_0.565, 1.25 ms: 206 GFLOP effective / 165
+    TFLOP/s in the round-5 int8 pipeline trace).
+
+    Scales are DYNAMIC but in-kernel: per-cell absmax of q/k/v computed
+    in VMEM (no extra HBM pass — the conv-path dynamic-requant no-go was
+    about HBM round trips, which do not exist here) and the softmax
+    probabilities quantize with the exact static scale 127 (p in [0,1]).
+    Softmax itself stays f32, and the denominator comes from the f32
+    probabilities, so the only approximation is the three 8-bit
+    roundings.
+
+    MEASURED NO-GO as a default (round 5, healthy-device A/B, isolated
+    per-site loops with device-time cross-check against the pipeline
+    trace): res32 b32 S1024 0.989x, res16 b64 S256 0.980x, res8 b64
+    S64 1.028x — a wash. The core is softmax/VPU-bound (f32 exp2 + two
+    max/sum reductions per head survive unchanged), so halving the MXU
+    dot cost moves nothing; per-block parity cosine stays > 0.993.
+    Kept opt-in (RDM_TPU_INT8_ATTN=1, int8 serving mode only) as the
+    starting point if a future int8 softmax lands."""
+    for n in range(q_ref.shape[0]):
+        qf = q_ref[n].astype(jnp.float32)    # [BQ, 128]
+        kf = k_ref[n].astype(jnp.float32)    # [S, 128]
+        vf = v_ref[n].astype(jnp.float32)
+        bq, lanes = qf.shape
+        qs = jnp.maximum(jnp.max(jnp.abs(qf)), 1e-12) / 127.0
+        ks = jnp.maximum(jnp.max(jnp.abs(kf)), 1e-12) / 127.0
+        vs = jnp.maximum(jnp.max(jnp.abs(vf)), 1e-12) / 127.0
+        qq = jnp.clip(jnp.round(qf / qs), -127.0, 127.0).astype(jnp.int8)
+        kq = jnp.clip(jnp.round(kf / ks), -127.0, 127.0).astype(jnp.int8)
+        vq = jnp.clip(jnp.round(vf / vs), -127.0, 127.0).astype(jnp.int8)
+        acc = jnp.zeros((bq, lanes), jnp.float32)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, lanes), 1)
+        for h in range(lanes // head_dim):
+            mh = jnp.logical_and(lane >= h * head_dim,
+                                 lane < (h + 1) * head_dim)
+            qh = jnp.where(mh, qq, jnp.zeros_like(qq))
+            s = jax.lax.dot_general(
+                qh, kq, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)       # [BQ, S] exact
+            s = s.astype(jnp.float32) * jnp.float32(qs * ks * scale
+                                                    * _LOG2E)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp2(s - m)
+            den = jnp.sum(p, axis=-1, keepdims=True)    # f32 denominator
+            pq = jnp.round(p * 127.0).astype(jnp.int8)  # p in [0,1]
+            pv = jax.lax.dot_general(
+                pq, vq, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)       # [BQ, 128]
+            pv = pv.astype(jnp.float32) * jnp.float32(vs / 127.0)
+            pv = pv * pl.reciprocal(den, approx=False)
+            acc = acc + jnp.where(mh, pv, 0.0)
+        o_ref[n] = acc.astype(o_ref.dtype)
+
+
+def use_int8_attn_core() -> bool:
+    """int8 attention core inside the int8 serving mode. Default OFF:
+    measured a wash (0.98-1.03x per site, _packed_attn_kernel_q8
+    docstring) because the core is softmax-bound, and off keeps the
+    int8 mode's approximation surface smaller."""
+    return os.environ.get("RDM_TPU_INT8_ATTN", "0") == "1"
 
 
 # ---------------------------------------------------------------- kernel 3
@@ -641,8 +713,11 @@ def fused_transformer_block(
         grid = (b // nbq, g, s // bq)
         in_specs = [qspec, kvspec, kvspec]
         out_spec = qspec
+    attn_kernel = (_packed_attn_kernel_q8
+                   if qscales is not None and use_int8_attn_core()
+                   else _packed_attn_kernel)
     attn = pl.pallas_call(
-        functools.partial(_packed_attn_kernel, head_dim=head_dim,
+        functools.partial(attn_kernel, head_dim=head_dim,
                           scale=scale),
         grid=grid,
         in_specs=in_specs,

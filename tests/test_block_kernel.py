@@ -291,3 +291,33 @@ def test_fused_block_int8_parity():
     exact = fused.apply(params, x, ctx)
     np.testing.assert_allclose(np.asarray(exact), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_int8_attention_core(monkeypatch):
+    """The int8 attention core (dynamic in-kernel q/k/v scales, p at the
+    static 127 scale) stays within quantization tolerance of the exact
+    block on both grids, and RDM_TPU_INT8_ATTN=0 reverts to the bf16
+    core (which is tighter)."""
+    from rdm_tpu.ops import quant
+
+    heads, head_dim = 4, 32
+    for b, s in ((2, 16), (8, 16), (2, 512)):  # nb>1 and row-tiled grids
+        ref, params, x, ctx = _mk(heads, head_dim, ctx_dim=64, b=b, s=s,
+                                  s_ctx=4, dtype=jnp.float32, seed=11)
+        with quant.calibrate():
+            want, inter = ref.apply(params, x, ctx,
+                                    mutable=["intermediates"])
+        variables = {**params, "quant": inter["intermediates"]}
+        fused = FusedTransformerBlock(heads=heads, head_dim=head_dim,
+                                      dtype=jnp.float32, interpret=True)
+        monkeypatch.setenv("RDM_TPU_INT8_ATTN", "1")
+        got_q8 = fused.apply(variables, x, ctx)
+        monkeypatch.setenv("RDM_TPU_INT8_ATTN", "0")
+        got_bf = fused.apply(variables, x, ctx)
+        w = np.asarray(want, np.float32).ravel()
+        for got, floor in ((got_q8, 0.993), (got_bf, 0.995)):
+            g = np.asarray(got, np.float32).ravel()
+            cos = float(w @ g / (np.linalg.norm(w) * np.linalg.norm(g)))
+            assert cos > floor, (b, s, floor, cos)
+        # the two cores genuinely differ (the env gate selects a kernel)
+        assert not np.allclose(np.asarray(got_q8), np.asarray(got_bf))
