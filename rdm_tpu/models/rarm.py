@@ -563,6 +563,7 @@ def sample_tokens_fused(
     approx_top_k: bool = False,
     window_chunk: int = 64,
     int8_weights: bool = False,
+    int8_kv: bool = False,
     partition: bool = False,
     interpret: bool = False,
 ) -> jnp.ndarray:
@@ -576,6 +577,16 @@ def sample_tokens_fused(
     per-output-channel int8 (halved HBM weight traffic — decode at small
     batch is weight-bound); sampling is no longer bit-comparable to the
     bf16 path, so it stays opt-in for serving.
+    int8_kv stores the K/V caches int8 with per-(row, batch) f32 scales
+    (decode_kernel int8_kv mode), halving the cache HBM stream. Measured
+    matrix on int8_weights (official forced-sync bench_rarm, v5e): b16
+    75.8->81.0 (+6.8%), b64+approx 162.7->172.1 (+5.8%, the new best
+    serving point), but plain b64 129.9->127.7 and CFG b64 94.2->91.6 --
+    the in-kernel dequant + scale-chunk DMAs outweigh the saved traffic
+    at exact-top-k b64, so it stays opt-in per op point rather than a
+    default. The current position always attends through exact bf16
+    kernel scratches; approximation is gated by token agreement
+    (tests/test_rarm.py). Composes with int8_weights and approx_top_k.
     partition=True makes the decode DP-partitionable: the kernels run on
     each device's local batch shard (custom_partitioning batch rules,
     caller-side DUS cache commits — see decode_layer); bit-identical to
@@ -618,8 +629,15 @@ def sample_tokens_fused(
         cross.append((jnp.transpose(ck, (1, 0, 2)),
                       jnp.transpose(cv, (1, 0, 2))))
 
-    k_caches = tuple(jnp.zeros((t, bb, c), dtype) for _ in range(cfg.depth))
-    v_caches = tuple(jnp.zeros((t, bb, c), dtype) for _ in range(cfg.depth))
+    cache_dtype = jnp.int8 if int8_kv else dtype
+    k_caches = tuple(jnp.zeros((t, bb, c), cache_dtype)
+                     for _ in range(cfg.depth))
+    v_caches = tuple(jnp.zeros((t, bb, c), cache_dtype)
+                     for _ in range(cfg.depth))
+    ks_caches = tuple(jnp.ones((t, bb, 1), jnp.float32)
+                      for _ in range(cfg.depth)) if int8_kv else ()
+    vs_caches = tuple(jnp.ones((t, bb, 1), jnp.float32)
+                      for _ in range(cfg.depth)) if int8_kv else ()
     sos = jnp.full((b,), cfg.sos_token, dtype=jnp.int32)
 
     def make_body(window):
@@ -632,26 +650,33 @@ def sample_tokens_fused(
         # (CFG b64: 80.7 vs 86.8 img/s; block-pipelined variant 79.2),
         # so the default stays the DUS fallback.
         defer = (_os.environ.get("RARM_BATCHED_COMMIT", "0") == "1"
-                 and not partition
+                 and not partition and not int8_kv
                  and not uses_inkernel_commit(window, bb, c))
 
         def body(carry, step):
-            token, kc, vc, rng = carry
+            token, kc, vc, ksc, vsc, rng = carry
             tok_in = (jnp.concatenate([token, token], axis=0)
                       if use_cfg else token)
             x = (jnp.take(emb, tok_in, axis=0)
                  + jax.lax.dynamic_slice_in_dim(posenc, step, 1, axis=0))
             kc, vc = list(kc), list(vc)
+            ksc, vsc = list(ksc), list(vsc)
             krows, vrows = [], []
             for d in range(cfg.depth):
                 # caches return with row `step` committed in-kernel (or,
                 # when deferred, the raw rows for the batched commit)
-                x, ko, vo = decode_layer(
+                outs = decode_layer(
                     x, step, kc[d], vc[d], cross[d][0], cross[d][1],
                     seg, segt, layers[d],
                     heads=cfg.heads, head_dim=cfg.head_dim,
-                    window=window, defer_commit=defer,
+                    window=window,
+                    ks_cache=ksc[d] if int8_kv else None,
+                    vs_cache=vsc[d] if int8_kv else None,
+                    defer_commit=defer,
                     partition=partition, interpret=interpret)
+                x, ko, vo = outs[:3]
+                if int8_kv:
+                    ksc[d], vsc[d] = outs[3], outs[4]
                 if defer:
                     krows.append(ko)
                     vrows.append(vo)
@@ -667,7 +692,8 @@ def sample_tokens_fused(
                 logits, rng, use_cfg=use_cfg,
                 guidance_scale=guidance_scale, temperature=temperature,
                 top_k=top_k, approx_top_k=approx_top_k)
-            return (nxt, tuple(kc), tuple(vc), rng), nxt
+            return (nxt, tuple(kc), tuple(vc), tuple(ksc), tuple(vsc),
+                    rng), nxt
 
         return body
 
@@ -676,5 +702,6 @@ def sample_tokens_fused(
     # size down to 1 — the serialized small-block shape its docstring
     # records as a measured disaster
     return _run_stages(
-        make_body, (sos, k_caches, v_caches, rng), steps, window_chunk,
+        make_body, (sos, k_caches, v_caches, ks_caches, vs_caches, rng),
+        steps, window_chunk,
         window_for=lambda end: min(t, ((end + 7) // 8) * 8))

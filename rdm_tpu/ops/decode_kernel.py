@@ -133,9 +133,9 @@ def head_segment_matrices(heads: int, head_dim: int, dtype=jnp.bfloat16
 # ---------------------------------------------------------------- kernels
 
 def _attn_kernel(
-    pos_ref, x_ref, kwin_ref, vwin_ref, seg_ref, segt_ref,
-    n1s_ref, n1b_ref, wqkv_ref, *rest,
+    pos_ref, x_ref, kwin_ref, vwin_ref, *rest,
     wc: int, n_chunks: int, scale: float, quantized: bool,
+    int8_kv: bool = False,
 ):
     """LN1 + fused qkv + online-softmax cached attention over W-chunks
     (grid = (n_chunks,)).
@@ -145,13 +145,36 @@ def _attn_kernel(
     scratches (and emits k_new/v_new for the cache commit); scratches
     carry the running max / denom / weighted-V across chunks; the last
     chunk folds in the current position and writes the normalized
-    output."""
+    output.
+
+    int8_kv: the K/V caches are stored int8 with per-(row, batch) f32
+    scales ([T, B, 1] side caches, chunked alongside). Scores multiply
+    by the k-scale AFTER the SEG matmul (the per-row scale commutes out
+    of the lane contraction) and the v-scale folds into the f32
+    probabilities BEFORE the SEG^T expansion ([Wc,B,H] — cheaper than
+    scaling the [Wc,B,C] dequantized values). The current position
+    attends through the exact bf16 kn/vn scratches, so quantization only
+    touches PAST rows — serving-mode approximation, gated by token
+    agreement (tests/test_rarm.py)."""
+    if int8_kv:
+        kssc_ref, vssc_ref = rest[:2]       # [Wc, B, 1] f32 scale chunks
+        rest = rest[2:]
+    else:
+        kssc_ref = vssc_ref = None
+    seg_ref, segt_ref, n1s_ref, n1b_ref, wqkv_ref = rest[:5]
+    rest = rest[5:]
     if quantized:
         sqkv_ref, rest = rest[0], rest[1:]
     else:
         sqkv_ref = None
-    (o_ref, kc_row, vc_row, q_acc, kn_acc, vn_acc,
-     m_acc, den_acc, pv_acc) = rest
+    if int8_kv:
+        o_ref, kc_row, vc_row, ks_row, vs_row = rest[:5]
+        rest = rest[5:]
+    else:
+        o_ref, kc_row, vc_row = rest[:3]
+        ks_row = vs_row = None
+        rest = rest[3:]
+    q_acc, kn_acc, vn_acc, m_acc, den_acc, pv_acc = rest
     wi = pl.program_id(0)
     pos = pos_ref[0]
     b, c = x_ref.shape
@@ -162,17 +185,29 @@ def _attn_kernel(
         hh = _layer_norm(x, n1s_ref[...], n1b_ref[...])
         qkv = _wdot(hh, wqkv_ref, sqkv_ref)   # [B, 3C] f32
         q_acc[...] = qkv[:, :c].astype(x.dtype)
-        kn = qkv[:, c:2 * c].astype(x.dtype)
-        vn = qkv[:, 2 * c:].astype(x.dtype)
-        kn_acc[...] = kn
-        vn_acc[...] = vn
+        knf = qkv[:, c:2 * c]
+        vnf = qkv[:, 2 * c:]
+        kn_acc[...] = knf.astype(x.dtype)
+        vn_acc[...] = vnf.astype(x.dtype)
         # commit the current position straight into the cache row
         # outputs (aliased when inkernel_commit — see decode_layer) or
         # emit [1, B, C] rows for a caller-side update. Benign race with
         # window prefetch under aliasing: row `pos` is masked this step
         # and only read from the NEXT pallas_call onward.
-        kc_row[0] = kn
-        vc_row[0] = vn
+        if int8_kv:
+            ksc = jnp.maximum(jnp.max(jnp.abs(knf), axis=-1,
+                                      keepdims=True), 1e-12) / 127.0
+            vsc = jnp.maximum(jnp.max(jnp.abs(vnf), axis=-1,
+                                      keepdims=True), 1e-12) / 127.0
+            kc_row[0] = jnp.clip(jnp.round(knf / ksc),
+                                 -127.0, 127.0).astype(jnp.int8)
+            vc_row[0] = jnp.clip(jnp.round(vnf / vsc),
+                                 -127.0, 127.0).astype(jnp.int8)
+            ks_row[0] = ksc
+            vs_row[0] = vsc
+        else:
+            kc_row[0] = knf.astype(x.dtype)
+            vc_row[0] = vnf.astype(x.dtype)
         m_acc[...] = jnp.full_like(m_acc[...], _NEG_INF)
         den_acc[...] = jnp.zeros_like(den_acc[...])
         pv_acc[...] = jnp.zeros_like(pv_acc[...])
@@ -188,10 +223,15 @@ def _attn_kernel(
         h = seg_ref.shape[1]
         kchunk = kwin_ref[...]          # [Wc, B, C]
         vchunk = vwin_ref[...]
+        if int8_kv:
+            kchunk = kchunk.astype(q.dtype)   # int8 -> bf16 in-register
+            vchunk = vchunk.astype(q.dtype)
         q_b = jax.lax.broadcast_in_dim(q, (wc, b, c), (1, 2))
         prod = (q_b * kchunk).reshape(wc * b, c)
         s = (_dot(prod, seg_ref[...]).reshape(wc, b, h)
              * jnp.float32(scale))      # [Wc, B, H] f32
+        if int8_kv:
+            s = s * kssc_ref[...]       # per-(row, batch) k scale
         absw = (jax.lax.broadcasted_iota(jnp.int32, (wc, b, h), 0)
                 + wi * wc)
         s = jnp.where(absw < pos, s, _NEG_INF)
@@ -204,7 +244,8 @@ def _attn_kernel(
         den_acc[...] = den_acc[...] * corr + jnp.sum(p, axis=0)
         corr_full = _dot(corr.astype(seg_ref.dtype),
                          segt_ref[...])                          # [B, C]
-        p_full = _dot(p.reshape(wc * b, h).astype(segt_ref.dtype),
+        p_v = p * vssc_ref[...] if int8_kv else p   # fold v scale into p
+        p_full = _dot(p_v.reshape(wc * b, h).astype(segt_ref.dtype),
                       segt_ref[...]).reshape(wc, b, c)
         pv = jnp.sum((p_full.astype(vchunk.dtype) * vchunk)
                      .astype(jnp.float32), axis=0)               # [B, C]
@@ -404,6 +445,8 @@ def decode_layer(
     heads: int,
     head_dim: int,
     window: int,
+    ks_cache: jnp.ndarray = None,
+    vs_cache: jnp.ndarray = None,
     defer_commit: bool = False,
     partition: bool = False,
     interpret: bool = False,
@@ -421,6 +464,17 @@ def decode_layer(
     commit_rows call; otherwise a per-layer dynamic_update_slice commits
     here.
 
+    ks_cache/vs_cache ([T, B, 1] f32, required iff the caches are int8)
+    enable the int8 KV serving mode: cache rows store int8 with
+    per-(row, batch) scales, halving the cache HBM stream. Measured on
+    top of int8_weights (official forced-sync series, v5e): b16
+    75.8→81.0, b64+approx 162.7→172.1 (new best point), but plain b64
+    129.9→127.7 and CFG b64 94.2→91.6 — the in-register dequant +
+    scale-chunk DMAs can outweigh the saved bytes, so opt-in per op
+    point. Returns (x_out, k_cache, v_cache, ks_cache, vs_cache). The
+    current position stays exact bf16 (kernel scratches); defer_commit
+    is not supported with int8_kv.
+
     partition=True makes the layer DP-partitionable (multi-chip serving):
     both pallas_calls go through `ops.partitioning.call_batch_partitioned`
     so each device runs its LOCAL batch shard, and the KV commit is
@@ -431,14 +485,21 @@ def decode_layer(
     """
     scale = float(head_dim) ** -0.5
     quantized = "wqkv_s" in w
+    int8_kv = ks_cache is not None
+    assert not (int8_kv and defer_commit), \
+        "int8_kv commits per layer (commit_rows assumes uniform shapes)"
     attn_scale_in = [w["wqkv_s"]] if quantized else []
 
-    def attn_call(pos1, x, k_cache, v_cache, seg, segt, n1s, n1b, wqkv,
-                  *scales):
+    def attn_call(pos1, x, k_cache, v_cache, *rest_args):
         """The LN1+qkv+cached-attention pallas_call, all shapes derived
         from the args so the partitioner can re-trace it at per-device
-        LOCAL batch. Returns (attn [B,C], k_row, v_row) — rows are the
-        full aliased caches under in-kernel commit, else [1,B,C]."""
+        LOCAL batch. Returns (attn [B,C], k_row, v_row[, ks_row,
+        vs_row]) — rows are the full aliased caches under in-kernel
+        commit, else [1,B,C] (scale rows [1,B,1])."""
+        if int8_kv:
+            ks_cache, vs_cache = rest_args[:2]
+            rest_args = rest_args[2:]
+        seg, segt, n1s, n1b, wqkv, *scales = rest_args
         b, c = x.shape
         t_cache = k_cache.shape[0]
         out_bc = jax.ShapeDtypeStruct((b, c), x.dtype)
@@ -454,21 +515,38 @@ def decode_layer(
         # b16 = 384 KB measured a win); otherwise emit the rows and
         # update caller-side. Partitioned mode always emits rows.
         inkernel = (not partition) and uses_inkernel_commit(window, b, c)
+        kv_dtype = k_cache.dtype
         if inkernel:
             row_out = pl.BlockSpec((1, b, c),
                                    lambda i, pos: (pos[0], 0, 0),
                                    memory_space=pltpu.VMEM)
+            sc_out = pl.BlockSpec((1, b, 1),
+                                  lambda i, pos: (pos[0], 0, 0),
+                                  memory_space=pltpu.VMEM)
             row_shapes = (
-                jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
-                jax.ShapeDtypeStruct((t_cache, b, c), x.dtype),
+                jax.ShapeDtypeStruct((t_cache, b, c), kv_dtype),
+                jax.ShapeDtypeStruct((t_cache, b, c), kv_dtype),
             )
-            aliases = {2: 1, 3: 2}
+            sc_shapes = (
+                jax.ShapeDtypeStruct((t_cache, b, 1), jnp.float32),
+                jax.ShapeDtypeStruct((t_cache, b, 1), jnp.float32),
+            )
+            # operand order: (pos, x, k, v[, ks, vs], ...) — caches
+            # alias their row-updated outputs
+            aliases = ({2: 1, 3: 2, 4: 3, 5: 4} if int8_kv
+                       else {2: 1, 3: 2})
         else:
             row_out = pl.BlockSpec((1, b, c), lambda i, pos: (0, 0, 0),
                                    memory_space=pltpu.VMEM)
+            sc_out = pl.BlockSpec((1, b, 1), lambda i, pos: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
             row_shapes = (
-                jax.ShapeDtypeStruct((1, b, c), x.dtype),
-                jax.ShapeDtypeStruct((1, b, c), x.dtype),
+                jax.ShapeDtypeStruct((1, b, c), kv_dtype),
+                jax.ShapeDtypeStruct((1, b, c), kv_dtype),
+            )
+            sc_shapes = (
+                jax.ShapeDtypeStruct((1, b, 1), jnp.float32),
+                jax.ShapeDtypeStruct((1, b, 1), jnp.float32),
             )
             aliases = {}
 
@@ -477,35 +555,38 @@ def decode_layer(
             return pl.BlockSpec(shape, lambda i, pos: (0,) * nd,
                                 memory_space=pltpu.VMEM)
 
+        def chunk_sp(lanes):
+            # chunk index clamped to the last chunk holding live rows
+            # (< pos): cells skipped by the in-kernel pl.when revisit
+            # the previous block instead of streaming unread tail
+            return pl.BlockSpec(
+                (wc, b, lanes),
+                lambda i, pos: (jnp.minimum(i,
+                                            jnp.maximum(pos[0] - 1, 0)
+                                            // wc), 0, 0),
+                memory_space=pltpu.VMEM)
+
+        sc_in = [chunk_sp(1), chunk_sp(1)] if int8_kv else []
+        sc_args = (ks_cache, vs_cache) if int8_kv else ()
+        kv_bytes = 1 if int8_kv else 2
         return pl.pallas_call(
             functools.partial(_attn_kernel, wc=wc, n_chunks=n_chunks,
-                              scale=scale, quantized=quantized),
+                              scale=scale, quantized=quantized,
+                              int8_kv=int8_kv),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n_chunks,),
                 in_specs=[
                     full_sp((b, c)),                    # x
-                    # chunk index clamped to the last chunk holding live
-                    # rows (< pos): cells skipped by the in-kernel
-                    # pl.when revisit the previous block instead of
-                    # streaming unread tail
-                    pl.BlockSpec((wc, b, c),
-                                 lambda i, pos: (
-                                     jnp.minimum(i,
-                                                 jnp.maximum(pos[0] - 1, 0)
-                                                 // wc), 0, 0),
-                                 memory_space=pltpu.VMEM),  # k chunk
-                    pl.BlockSpec((wc, b, c),
-                                 lambda i, pos: (
-                                     jnp.minimum(i,
-                                                 jnp.maximum(pos[0] - 1, 0)
-                                                 // wc), 0, 0),
-                                 memory_space=pltpu.VMEM),  # v chunk
+                    chunk_sp(c),                        # k chunk
+                    chunk_sp(c),                        # v chunk
+                ] + sc_in + [
                     full_sp(seg.shape), full_sp(segt.shape),
                     full_sp(n1s.shape), full_sp(n1b.shape),
                     full_sp(wqkv.shape),
                 ] + [full_sp(a.shape) for a in scales],
-                out_specs=(full_sp((b, c)), row_out, row_out),
+                out_specs=((full_sp((b, c)), row_out, row_out)
+                           + ((sc_out, sc_out) if int8_kv else ())),
                 scratch_shapes=[
                     pltpu.VMEM((b, c), x.dtype),     # q
                     pltpu.VMEM((b, c), x.dtype),     # k_new
@@ -515,33 +596,40 @@ def decode_layer(
                     pltpu.VMEM((b, c), jnp.float32),
                 ],
             ),
-            out_shape=(out_bc,) + row_shapes,
-            # operand order: (pos, x, k_cache, v_cache, ...); under
-            # inkernel commit the caches alias their row-updated outputs
+            out_shape=(out_bc,) + row_shapes
+                      + (sc_shapes if int8_kv else ()),
             input_output_aliases=aliases,
             cost_estimate=pl.CostEstimate(
                 flops=4 * b * window * c + 6 * b * c * c,
-                bytes_accessed=2 * b * window * c * 2 + 2 * wqkv.size,
+                bytes_accessed=2 * b * window * c * kv_bytes
+                               + 2 * wqkv.size,
                 transcendentals=b * window * heads),
             interpret=interpret,
-        )(pos1, x, k_cache, v_cache, seg, segt, n1s, n1b, wqkv, *scales)
+        )(pos1, x, k_cache, v_cache, *sc_args,
+          seg, segt, n1s, n1b, wqkv, *scales)
 
     pos1 = pos.reshape((1,)).astype(jnp.int32)
-    attn_args = (pos1, x, k_cache, v_cache, seg, segt,
+    sc_caches = (ks_cache, vs_cache) if int8_kv else ()
+    attn_args = (pos1, x, k_cache, v_cache, *sc_caches, seg, segt,
                  w["n1s"], w["n1b"], w["wqkv"], *attn_scale_in)
+    n_lead = 4 + len(sc_caches)   # pos, x, k, v[, ks, vs]: batch dims
     if partition:
         from rdm_tpu.ops.partitioning import call_batch_partitioned
-        attn, k_out, v_out = call_batch_partitioned(
+        outs = call_batch_partitioned(
             attn_call, attn_args,
-            (None, 0, 1, 1) + (None,) * (len(attn_args) - 4),
-            out_batch_dims=(0, 1, 1))
+            (None, 0) + (1,) * (n_lead - 2)
+            + (None,) * (len(attn_args) - n_lead),
+            out_batch_dims=(0,) + (1,) * (n_lead - 2))
         inkernel_commit = False
     else:
-        attn, k_out, v_out = attn_call(*attn_args)
+        outs = attn_call(*attn_args)
         inkernel_commit = uses_inkernel_commit(window, x.shape[0],
                                                x.shape[1])
+    attn, k_out, v_out = outs[:3]
     if inkernel_commit:
         k_cache, v_cache = k_out, v_out
+        if int8_kv:
+            ks_cache, vs_cache = outs[3], outs[4]
     elif defer_commit and not partition:
         k_cache, v_cache = k_out, v_out  # raw [1, B, C] rows
     else:
@@ -549,6 +637,11 @@ def decode_layer(
             k_cache, k_out, pos, axis=0)
         v_cache = jax.lax.dynamic_update_slice_in_dim(
             v_cache, v_out, pos, axis=0)
+        if int8_kv:
+            ks_cache = jax.lax.dynamic_update_slice_in_dim(
+                ks_cache, outs[3], pos, axis=0)
+            vs_cache = jax.lax.dynamic_update_slice_in_dim(
+                vs_cache, outs[4], pos, axis=0)
 
     def post_call(x, attn, cross_k, cross_v, seg, segt,
                   wo, bo, n2s, n2b, wq2, wo2, bo2, n3s, n3b,
@@ -625,4 +718,6 @@ def decode_layer(
     else:
         xo = post_call(*post_args)
 
+    if int8_kv:
+        return xo, k_cache, v_cache, ks_cache, vs_cache
     return xo, k_cache, v_cache

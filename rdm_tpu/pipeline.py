@@ -625,7 +625,8 @@ class RARMPipeline:
             temperature: float = 1.0, guidance_scale: float = 1.0,
             memsize=100, use_weights: bool = False,
             qids: Optional[np.ndarray] = None, seed: int = 0,
-            approx_top_k: bool = False, int8_weights: bool = False
+            approx_top_k: bool = False, int8_weights: bool = False,
+            int8_kv: bool = False
     ) -> Dict[str, Any]:
         """sample_from_rdata equivalent (transformer.py:296-391)."""
         if self.retrieval is None:
@@ -637,7 +638,8 @@ class RARMPipeline:
         neighbors = jnp.asarray(found["embeddings"], dtype=jnp.float32)
         return {"samples_with_sampled_nns": self._generate(
             neighbors, top_k, temperature, guidance_scale, seed,
-            approx_top_k=approx_top_k, int8_weights=int8_weights)}
+            approx_top_k=approx_top_k, int8_weights=int8_weights,
+            int8_kv=int8_kv)}
 
     def sample_with_query(self, query_embeddings: np.ndarray, *,
                           k_nn: int = 4, top_k: int = 256,
@@ -647,7 +649,8 @@ class RARMPipeline:
                           unconditional: bool = False,
                           seed: int = 0,
                           approx_top_k: bool = False,
-                          int8_weights: bool = False) -> Dict[str, Any]:
+                          int8_weights: bool = False,
+                          int8_kv: bool = False) -> Dict[str, Any]:
         q = np.asarray(query_embeddings, dtype=np.float32)
         if unconditional:
             neighbors = np.zeros_like(q)[:, None]
@@ -664,7 +667,8 @@ class RARMPipeline:
                                        axis=1)
         return {"query_samples": self._generate(
             jnp.asarray(neighbors), top_k, temperature, guidance_scale,
-            seed, approx_top_k=approx_top_k, int8_weights=int8_weights)}
+            seed, approx_top_k=approx_top_k, int8_weights=int8_weights,
+            int8_kv=int8_kv)}
 
     def embed_caption(self, caption: str, batch_size: int) -> np.ndarray:
         if self.clip is None:
@@ -675,10 +679,11 @@ class RARMPipeline:
 
     def _generate(self, neighbors, top_k, temperature, guidance_scale,
                   seed, approx_top_k: bool = False,
-                  int8_weights: bool = False) -> np.ndarray:
+                  int8_weights: bool = False,
+                  int8_kv: bool = False) -> np.ndarray:
         # cached per static config — see RDMPipeline._run_ddim
         key = ("ar", top_k, temperature, guidance_scale, approx_top_k,
-               int8_weights, neighbors.shape[0])
+               int8_weights, int8_kv, neighbors.shape[0])
         run = self._runners.get(key)
         if run is None:
             from rdm_tpu.models.rarm import (sample_tokens_fused,
@@ -694,11 +699,15 @@ class RARMPipeline:
             fused = use_fused_decode_default()
             dp = (self.mesh is not None
                   and self.mesh.shape.get("data", 1) > 1)
-            if int8_weights and not fused:
-                raise ValueError("int8_weights requires the fused TPU "
-                                 "decode path")
+            if (int8_weights or int8_kv) and not fused:
+                raise ValueError("int8_weights/int8_kv require the fused "
+                                 "TPU decode path")
             sampler = sample_tokens_fused if fused else sample_tokens
-            extra = {"int8_weights": True} if int8_weights else {}
+            extra = {}
+            if int8_weights:
+                extra["int8_weights"] = True
+            if int8_kv:
+                extra["int8_kv"] = True
             if fused and dp:
                 extra["partition"] = True
 

@@ -37,6 +37,8 @@ def main():
                    help="approx_max_k top-k threshold (skips the full sort)")
     p.add_argument("--int8_weights", action="store_true",
                    help="int8 weight-only serving mode (fused path only)")
+    p.add_argument("--int8_kv", action="store_true",
+                   help="int8 KV-cache serving mode (fused path only)")
     opt = p.parse_args()
 
     # bounded wait through total tunnel outages (bench.py rationale)
@@ -80,6 +82,9 @@ def main():
     if opt.int8_weights:
         assert sampler is sample_tokens_fused, "int8 needs the fused path"
         extra["int8_weights"] = True
+    if opt.int8_kv:
+        assert sampler is sample_tokens_fused, "int8_kv needs the fused path"
+        extra["int8_kv"] = True
     jitted = jax.jit(lambda p, n, r: sampler(
         model, p, n, r, guidance_scale=guidance,
         approx_top_k=opt.approx_top_k, **extra))
@@ -137,6 +142,9 @@ def main():
         "tokens_per_sec": round(tok_per_sec, 1),
         "batch": opt.batch,
         "cfg": opt.cfg,
+        "int8_weights": opt.int8_weights,
+        "int8_kv": opt.int8_kv,
+        "approx_top_k": opt.approx_top_k,
         "trials": trials,
         "spread": best_n_spread(),
         "spread_all": round((max(trials) - min(trials)) / max(trials), 4),

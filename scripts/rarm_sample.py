@@ -58,6 +58,11 @@ def parse_args() -> argparse.Namespace:
                    help="serving mode: symmetric per-channel int8 matmul "
                         "weights in the fused decode (halved weight "
                         "streaming, ~96%% greedy token agreement vs bf16)")
+    p.add_argument("--int8_kv", action="store_true",
+                   help="serving mode: int8 KV caches with per-(row, "
+                        "batch) scales in the fused decode (halved cache "
+                        "streaming -- the dominant HBM stream at large "
+                        "batch; current position stays exact bf16)")
     p.add_argument("--approx_top_k", action="store_true",
                    help="TPU-native approx_max_k for the top-k threshold "
                         "(~0.95 recall on near-tie tail logits, skips the "
@@ -87,16 +92,17 @@ def main() -> None:
     if opt.data_parallel > 1:
         from rdm_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(data=opt.data_parallel)
-    if opt.int8_weights or opt.approx_top_k:
+    if opt.int8_weights or opt.approx_top_k or opt.int8_kv:
         # approximate serving modes self-describe (VERDICT r4 #7)
         modes = [m for m, on in (("--int8_weights", opt.int8_weights),
+                                 ("--int8_kv", opt.int8_kv),
                                  ("--approx_top_k", opt.approx_top_k))
                  if on]
         print(f"NOTE: {' + '.join(modes)} is an APPROXIMATE serving mode "
-              "(recorded flagship greedy-token agreement 0.961 for int8, "
-              "~95% top-k recall for approx_top_k — COVERAGE.md). Measure "
-              "your checkpoint with scripts/quality_eval.py before "
-              "production use.")
+              "(recorded flagship greedy-token agreement 0.961 for int8 "
+              "weights, per-row-scaled int8 KV caches, ~95% top-k recall "
+              "for approx_top_k — COVERAGE.md). Measure your checkpoint "
+              "with scripts/quality_eval.py before production use.")
     pipe = RARMPipeline.from_model_dir(
         opt.model_path, database=opt.database, nn_memory=opt.nn_memory,
         clip_ckpt=opt.clip_ckpt, random_init=opt.random_init, mesh=mesh)
@@ -127,7 +133,7 @@ def main() -> None:
                 guidance_scale=guidance, memsize=opt.top_m,
                 use_weights=opt.use_weights, qids=qids, seed=seed,
                 approx_top_k=opt.approx_top_k,
-                int8_weights=opt.int8_weights)
+                int8_weights=opt.int8_weights, int8_kv=opt.int8_kv)
         else:
             logs = pipe.sample_with_query(
                 query, k_nn=opt.k_nn, top_k=opt.top_k,
@@ -136,7 +142,7 @@ def main() -> None:
                 only_query=opt.only_caption,
                 unconditional=opt.unconditional, seed=seed,
                 approx_top_k=opt.approx_top_k,
-                int8_weights=opt.int8_weights)
+                int8_weights=opt.int8_weights, int8_kv=opt.int8_kv)
         save_batch(logs, opt.savepath, stamp, n)
         print(f"run {n + 1}/{opt.n_runs} done (guidance={guidance})")
         if opt.increase_guidance:

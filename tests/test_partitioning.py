@@ -200,6 +200,37 @@ def test_fused_decode_partitioned_cfg_parity():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_fused_decode_int8_kv_partitioned_parity():
+    # The int8 KV-cache serving mode under DP: the scale caches
+    # ([T, B, 1], batch dim 1) ride the same custom_partitioning batch
+    # rules as the int8 caches, and the partitioned decode must produce
+    # the exact tokens of the single-device int8_kv path.
+    from rdm_tpu.models.rarm import RARM, RARMConfig, sample_tokens_fused
+
+    cfg = RARMConfig(vocab_size=40, out_vocab=38, heads=2, head_dim=8,
+                     depth=2, context_dim=12, seq_len=8, sos_token=39,
+                     mask_token=38, code_side=2)
+    model = RARM(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((2, 4), jnp.int32),
+                        jnp.zeros((2, 3, 12)))
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (8, 3, 12), jnp.float32)
+    rng = jax.random.PRNGKey(5)
+
+    want = sample_tokens_fused(model, params, ctx, rng, top_k=10,
+                               int8_kv=True, interpret=True)
+    mesh = _mesh()
+    repl = NamedSharding(mesh, P())
+    bs = NamedSharding(mesh, P("data"))
+    jf = jax.jit(
+        lambda p, n, r: sample_tokens_fused(
+            model, p, n, r, top_k=10, int8_kv=True,
+            partition=True, interpret=True),
+        in_shardings=(repl, bs, repl), out_shardings=bs)
+    got = jf(params, jax.device_put(ctx, bs), rng)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_fused_block_int8_partitioned_parity():
     # VERDICT r4 #4: the int8 fused-block path (calibrated act absmax
     # riding the weights operand as __qscales__, layers.py) must survive

@@ -240,6 +240,48 @@ def test_int8_decode_greedy_agreement():
     assert agree >= 0.75, agree
 
 
+def test_int8_kv_decode_agreement(monkeypatch):
+    """int8 KV-cache serving mode: caches store int8 rows with
+    per-(row, batch) scales; the current position attends exact bf16.
+    Greedy decode must track the bf16-cache fused path closely, compose
+    with int8 weights, and the commit mechanism (in-kernel alias vs
+    caller-side DUS) must be invisible to the sampled tokens."""
+    from rdm_tpu.models.rarm import sample_tokens_fused
+    from rdm_tpu.ops import decode_kernel
+
+    model, params = _init()
+    ctx = jnp.asarray(np.random.default_rng(13).standard_normal((2, 3, 12)),
+                      dtype=jnp.float32)
+    ref = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(1),
+                              top_k=1, interpret=True)
+    kv = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(1),
+                             top_k=1, int8_kv=True, interpret=True)
+    agree = float((np.asarray(ref) == np.asarray(kv)).mean())
+    assert agree >= 0.9, agree
+
+    # composes with int8 weights (both quantizations active)
+    both = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(1),
+                               top_k=1, int8_kv=True, int8_weights=True,
+                               interpret=True)
+    agree2 = float((np.asarray(ref) == np.asarray(both)).mean())
+    assert agree2 >= 0.5, agree2
+
+    # CFG + growing-window staging run through the int8 cache path
+    cfgd = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(2),
+                               top_k=5, guidance_scale=2.0,
+                               window_chunk=3, int8_kv=True,
+                               interpret=True)
+    assert np.asarray(cfgd).shape == np.asarray(ref).shape
+
+    # forcing the caller-DUS commit path reproduces the aliased
+    # in-kernel-commit tokens exactly
+    monkeypatch.setattr(decode_kernel, "uses_inkernel_commit",
+                        lambda *a: False)
+    kv_dus = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(1),
+                                 top_k=1, int8_kv=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(kv), np.asarray(kv_dus))
+
+
 def test_deferred_batched_commit_matches_inkernel(monkeypatch):
     """Above the in-kernel alias threshold the fused path defers KV rows
     and commits all layers in one aliased commit_rows kernel. Forcing

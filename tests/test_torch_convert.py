@@ -1011,3 +1011,30 @@ def test_rarm_int8_agreement_on_converted_weights():
         np.argmax(np.asarray(logits_f32), -1)
         == np.argmax(np.asarray(logits_q), -1)))
     assert agree >= 0.95, agree
+
+
+def test_rarm_int8_kv_agreement_on_converted_weights():
+    """int8 KV-cache serving mode on converted torch weights (real
+    weight distributions, not synthetic): greedy decode through the
+    fused kernels with int8 per-(row, batch)-scaled caches must track
+    the bf16-cache decode."""
+    from rdm_tpu.models.rarm import RARM, RARMConfig, sample_tokens_fused
+    from rdm_tpu.utils.torch_convert import convert_rarm_transformer
+
+    torch.manual_seed(12)
+    oracle = TRarm().eval()
+    sd = {f"transformer.{k}": v.detach().numpy()
+          for k, v in oracle.state_dict().items()}
+    cfg = RARMConfig(vocab_size=24, out_vocab=20, heads=2, head_dim=16,
+                     depth=2, context_dim=8, seq_len=6, sos_token=23,
+                     mask_token=22, code_side=2)
+    params = convert_rarm_transformer(sd, cfg.depth)
+    model = RARM(cfg, dtype=jnp.float32)
+    ctx = jnp.asarray(np.random.default_rng(7).standard_normal(
+        (8, 3, 8)).astype(np.float32))
+    ref = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(4),
+                              top_k=1, interpret=True)
+    kv = sample_tokens_fused(model, params, ctx, jax.random.PRNGKey(4),
+                             top_k=1, int8_kv=True, interpret=True)
+    agree = float((np.asarray(ref) == np.asarray(kv)).mean())
+    assert agree >= 0.95, agree
